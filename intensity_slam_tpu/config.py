@@ -1,0 +1,181 @@
+"""Typed configuration — single source of truth (reference C23).
+
+The reference scatters configuration across the ROS parameter server
+(`config/spot.yaml`, `launch/spot.launch`), per-node `getParam` calls
+(`src/intensity_feature_tracker.cpp:1101-1124`, `src/mapOptimization.cpp:522-541`,
+`src/scanRegistration.cpp:692-695`, `src/loop_closure_handler.cpp:136-139`,
+`src/laserOdometry.cpp:265`) and hard-coded constants.  Here everything lives
+in frozen dataclasses with the reference values as defaults; each field cites
+its source.  Static fields (shapes, capacities, iteration counts) become jit
+compile-time constants.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class SensorConfig:
+    """Ouster OS0-64 organized scan geometry (`config/spot.yaml:6-10`)."""
+
+    image_width: int = 1024           # spot.yaml:7
+    image_height: int = 64            # spot.yaml:8
+    image_crop: int = 3               # columns masked at L/R edges, spot.yaml:9
+    hand_held: bool = True            # mask operator shadow rows, spot.yaml:10
+    min_range: float = 0.1            # zero out closer points, image_handler.h_ouster:126
+    range_scale: float = 20.0         # range-image gain, image_handler.h_ouster:131
+    scan_period: float = 0.1          # ~10 Hz, README.md:153-169
+
+    @property
+    def num_points(self) -> int:
+        return self.image_width * self.image_height
+
+
+@dataclass(frozen=True)
+class GroundConfig:
+    """RANSAC ground extraction (`image_handler.h_ouster:41-100`)."""
+
+    z_min: float = -2.0               # height-band prefilter, :51
+    z_max: float = -0.45              # :51
+    ransac_iters: int = 128           # PCL maxIterations default-ish; batched here
+    dist_threshold: float = 0.01      # setDistanceThreshold, :66
+    axis_max_angle_deg: float = 15.0  # setEpsAngle(15°) vs +z, :64-65
+    keep_threshold: float = 0.03      # final inlier band, :86
+    max_ground_points: int = 16384    # fixed-capacity output (design choice)
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Intensity-image feature front-end (reference C3, `spot.yaml:13-14`)."""
+
+    num_features: int = 1024          # NUM_ORB_FEATURES=1000, spot.yaml:14 (padded to 2^k)
+    detect_multiplier: int = 2        # failure re-detect uses 2x features, intensity_feature_tracker.cpp:652-668
+    patch_size: int = 15              # descriptor patch radius support
+    descriptor_bits: int = 256        # ORB-compatible 256-bit binary descriptor
+    nms_radius: int = 2               # non-max suppression radius on score map
+    match_keep_frac: float = 0.3      # keep top 30% matches, intensity_feature_tracker.cpp:640-646
+    match_keep_frac_retry: float = 0.2  # 20% on the re-detect path, :684-689
+    min_good_matches: int = 4         # good-frame gate, :693
+    max_hamming: int = 64             # descriptor distance gate (BFMatcher crossCheck analogue)
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-scan intensity odometry solve (reference C4)."""
+
+    gn_iters: int = 20                # Ceres max_num_iterations=20, intensity_feature_tracker.cpp:921
+    huber_delta: float = 0.1          # HuberLoss(0.1), :908
+    lm_lambda0: float = 1e-4
+    keyframe_time_interval: float = 0.3   # spot.yaml:35
+    keyframe_distance_interval: float = 0.3  # spot.yaml:36
+
+
+@dataclass(frozen=True)
+class GeometricConfig:
+    """A-LOAM fallback feature extraction + odometry (C11/C12)."""
+
+    min_range: float = 0.3            # remove_radius, spot.yaml:49 / scanRegistration.cpp:695
+    num_segments: int = 6             # 6 azimuth segments per ring, scanRegistration.cpp:437
+    sharp_per_segment: int = 2        # scanRegistration.cpp:472-486
+    less_sharp_per_segment: int = 20  # :487-500
+    flat_per_segment: int = 4         # :522-536
+    curvature_threshold: float = 0.1  # :456,521
+    less_flat_voxel: float = 0.2      # :560-565
+    nearby_scan: float = 2.5          # laserOdometry.cpp:90
+    dist_sq_threshold: float = 25.0   # laserOdometry.cpp:89
+    odom_outer_iters: int = 2         # laserOdometry.cpp:417
+    odom_gn_iters: int = 4            # Ceres max_num_iterations=4, laserOdometry.cpp:706
+    max_corner_points: int = 256      # fixed-capacity (2*6*64=768 sharp upper bound; less_sharp 20*6*64)
+    max_surf_points: int = 2048
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Scan-to-map back-end (reference C14)."""
+
+    ground_voxel: float = 0.8         # plane res 0.8, spot.launch:5 (mapping surf filter)
+    corner_voxel: float = 0.4         # line res 0.4, spot.launch:4
+    knn: int = 5                      # 5-NN plane fit, mapOptimization.cpp:379
+    plane_valid_threshold: float = 0.2  # point-to-fit-plane validity, :406-414
+    gn_iters: int = 10                # Ceres ≤10 iters, :437
+    map_capacity: int = 1 << 20       # voxel-hash capacity (points)
+    cell_capacity: int = 8            # points per voxel cell
+    cell_size: float = 0.4            # hash voxel edge
+    max_query_points: int = 4096      # padded per-frame ground points for NN
+
+
+@dataclass(frozen=True)
+class LoopConfig:
+    """Loop detection + ICP verification + PGO (C7-C10, `spot.yaml:27-40`)."""
+
+    use_crop: bool = False            # spot.yaml:28
+    crop_size: float = 200.0          # spot.yaml:29
+    use_voxel: bool = True            # spot.yaml:31
+    voxel_size: float = 0.25          # vf_scan_res, spot.yaml:32
+    icp_fitness_score: float = 0.5    # spot.yaml:34
+    icp_iters: int = 32               # PCL ICP 100 iters; batched fixed-iter here (intensity_feature_tracker.cpp:220-224)
+    icp_max_corr: float = 100.0       # setMaxCorrespondenceDistance, :221
+    min_loop_bow_threshold: float = 0.013  # spot.yaml:38
+    min_loop_search_gap: int = 20     # spot.yaml:39
+    skiped_frames: int = 10           # spot.yaml:40
+    submap_window: int = 1            # loop keyframe ±1, intensity_feature_tracker.cpp:175
+    max_keyframes: int = 4096         # fixed-capacity keyframe store
+    keyframe_cloud_size: int = 8192   # subsampled points stored per keyframe
+    # ScanContext (include/Scancontext.h:77-95)
+    sc_num_ring: int = 20
+    sc_num_sector: int = 60
+    sc_max_radius: float = 80.0
+    sc_lidar_height: float = 2.0
+    sc_search_ratio: float = 0.1      # ±10% column shift brute search
+    sc_dist_threshold: float = 0.13   # SC_DIST_THRES, Scancontext.h:93
+    sc_num_exclude_recent: int = 50   # Scancontext.h:89
+    sc_num_candidates: int = 10       # NUM_CANDIDATES_FROM_TREE, Scancontext.h:90
+    # kd-radius strategy (loop_closure_handler.cpp:42-84)
+    radius_search_m: float = 7.0      # :68
+    min_time_gap: float = 40.0        # :77
+    # iSAM2-replacement PGO solve
+    pgo_gn_iters: int = 8
+    # noise models (intensity_feature_tracker.cpp:41-47): diag variances
+    prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    odom_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
+    loop_noise_base: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)  # scaled by ICP fitness, :344-355
+
+
+@dataclass(frozen=True)
+class ParallelConfig:
+    """Multi-host sharding (new — no reference counterpart; SURVEY §7.10)."""
+
+    mesh_axis_data: str = "data"      # keyframe/submap shard axis
+    keyframes_per_shard: int = 512
+    ba_cg_iters: int = 16
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    sensor: SensorConfig = field(default_factory=SensorConfig)
+    ground: GroundConfig = field(default_factory=GroundConfig)
+    feature: FeatureConfig = field(default_factory=FeatureConfig)
+    odometry: OdometryConfig = field(default_factory=OdometryConfig)
+    geometric: GeometricConfig = field(default_factory=GeometricConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
+    loop: LoopConfig = field(default_factory=LoopConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+
+    def replace(self, **kw) -> "SlamConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = SlamConfig()
+
+
+def small_test_config() -> SlamConfig:
+    """Tiny shapes for unit tests / CPU dry runs."""
+    return SlamConfig(
+        sensor=SensorConfig(image_width=256, image_height=32),
+        ground=GroundConfig(ransac_iters=32, max_ground_points=1024),
+        feature=FeatureConfig(num_features=128),
+        mapping=MappingConfig(map_capacity=1 << 14, max_query_points=512),
+        loop=LoopConfig(max_keyframes=64, keyframe_cloud_size=512),
+    )
