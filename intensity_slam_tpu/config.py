@@ -39,7 +39,7 @@ class GroundConfig:
 
     z_min: float = -2.0               # height-band prefilter, :51
     z_max: float = -0.45              # :51
-    ransac_iters: int = 128           # PCL maxIterations default-ish; batched here
+    ransac_iters: int = 256           # batched hypotheses (PCL iterates sequentially)
     dist_threshold: float = 0.01      # setDistanceThreshold, :66
     axis_max_angle_deg: float = 15.0  # setEpsAngle(15°) vs +z, :64-65
     keep_threshold: float = 0.03      # final inlier band, :86
@@ -174,7 +174,7 @@ def small_test_config() -> SlamConfig:
     """Tiny shapes for unit tests / CPU dry runs."""
     return SlamConfig(
         sensor=SensorConfig(image_width=256, image_height=32),
-        ground=GroundConfig(ransac_iters=32, max_ground_points=1024),
+        ground=GroundConfig(ransac_iters=128, max_ground_points=1024),
         feature=FeatureConfig(num_features=128),
         mapping=MappingConfig(map_capacity=1 << 14, max_query_points=512),
         loop=LoopConfig(max_keyframes=64, keyframe_cloud_size=512),

@@ -1,0 +1,158 @@
+"""Synthetic LiDAR world: raycast organized scans with intensity textures.
+
+The reference is validated only against the `spot_corridor.bag` recording
+(`README.md:91-100`); it ships no data generator and no tests (SURVEY §4).
+This module is the bag replacement: a differentiable-free, jittable raycaster
+that renders organized (H, W) Ouster-style scans (ranges + textured intensity)
+of a simple world (ground plane + axis-aligned boxes) from arbitrary sensor
+poses.  Ground-truth poses make ATE assertions exact.
+
+The default world is a corridor with textured walls — the same regime the
+spot_corridor sequence exercises (indoor, strong intensity texture, planar
+ground).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SensorConfig
+from ..utils import se3
+
+
+class World(NamedTuple):
+    # axis-aligned boxes: centers (B, 3), half-extents (B, 3)
+    box_centers: jax.Array
+    box_halves: jax.Array
+    ground_z: float = 0.0
+
+
+def corridor_world() -> World:
+    """A 40 m corridor along +x, 4 m wide, with wall pillars for texture
+    parallax and a few boxes as obstacles."""
+    walls = [
+        # left / right walls (thin boxes); bottom exactly at ground z=0
+        ([20.0, 2.2, 1.6], [22.0, 0.2, 1.6]),
+        ([20.0, -2.2, 1.6], [22.0, 0.2, 1.6]),
+        # end wall
+        ([42.5, 0.0, 1.6], [0.5, 3.0, 1.6]),
+        # back wall behind start
+        ([-3.5, 0.0, 1.6], [0.5, 3.0, 1.6]),
+    ]
+    boxes = [
+        ([8.0, 1.2, 0.4], [0.4, 0.4, 0.4]),
+        ([15.0, -1.0, 0.6], [0.5, 0.3, 0.6]),
+        ([24.0, 0.8, 0.5], [0.3, 0.5, 0.5]),
+        ([31.0, -1.3, 0.4], [0.4, 0.4, 0.4]),
+    ]
+    all_b = walls + boxes
+    return World(
+        jnp.array([b[0] for b in all_b], jnp.float32),
+        jnp.array([b[1] for b in all_b], jnp.float32),
+        ground_z=0.0,
+    )
+
+
+def _ray_dirs(cfg: SensorConfig, fov_up=16.6, fov_down=-16.6) -> jax.Array:
+    """(H, W, 3) unit ray directions in sensor frame; row 0 = top ring,
+    column azimuth spans [-pi, pi) matching an Ouster organized cloud."""
+    H, W = cfg.image_height, cfg.image_width
+    elev = jnp.deg2rad(jnp.linspace(fov_up, fov_down, H))
+    azim = jnp.linspace(-jnp.pi, jnp.pi, W, endpoint=False)
+    ce, se_ = jnp.cos(elev)[:, None], jnp.sin(elev)[:, None]
+    ca, sa = jnp.cos(azim)[None, :], jnp.sin(azim)[None, :]
+    return jnp.stack(
+        [ce * ca, ce * sa, jnp.broadcast_to(se_, (H, W))], axis=-1
+    )
+
+
+def _intensity_texture(p: jax.Array, normal_id: jax.Array) -> jax.Array:
+    """Procedural intensity at world hit points (N..., 3) — a mix of
+    checkerboard and sinusoid grids so corner detectors have real structure."""
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+    checker = ((jnp.floor(x * 2.0) + jnp.floor(y * 2.0) + jnp.floor(z * 2.0)) % 2.0)
+    waves = (
+        jnp.sin(x * 7.3) * jnp.sin(y * 9.1 + 1.7)
+        + jnp.sin(z * 11.0 + x * 3.0)
+    )
+    base = 60.0 + 80.0 * checker + 40.0 * waves + 15.0 * jnp.sin(x * 0.7)
+    # different surfaces get different albedo so edges are visible
+    albedo = 1.0 + 0.15 * (normal_id.astype(jnp.float32) % 3.0)
+    return jnp.clip(base * albedo, 1.0, 255.0)
+
+
+def render_scan(pose: se3.Pose, world: World, cfg: SensorConfig,
+                max_range: float = 120.0) -> tuple[jax.Array, jax.Array]:
+    """Render one organized scan from `pose` (sensor->world).
+
+    Returns (xyz_sensor (H*W, 3), intensity (H*W,)) — points in the SENSOR
+    frame, row-major, exactly the layout `project_organized` expects.
+    Points with no hit (or beyond max_range) are zeroed (range 0), matching
+    the reference's invalid-point convention.
+    """
+    H, W = cfg.image_height, cfg.image_width
+    dirs_s = _ray_dirs(cfg)                                  # (H, W, 3)
+    R = se3.quat_to_mat(pose.q)
+    dirs_w = jnp.einsum("ij,hwj->hwi", R, dirs_s)
+    origin = pose.t                                          # (3,)
+
+    big = jnp.float32(1e9)
+
+    # ground plane z = ground_z
+    dz = dirs_w[..., 2]
+    t_g = (world.ground_z - origin[2]) / jnp.where(jnp.abs(dz) < 1e-6, 1e-6, dz)
+    t_ground = jnp.where((t_g > 0.05) & (dz < 0), t_g, big)
+
+    # axis-aligned boxes, slab method, vectorized over boxes
+    o = origin[None, None, None, :]                          # (1,1,1,3)
+    d = dirs_w[:, :, None, :]                                # (H, W, 1, 3)
+    c = world.box_centers[None, None, :, :]
+    h = world.box_halves[None, None, :, :]
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-6, 1e-6, d)
+    t1 = (c - h - o) * inv
+    t2 = (c + h - o) * inv
+    tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)             # (H, W, B)
+    tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+    hit = (tmax >= tmin) & (tmax > 0.05) & (tmin > 0.05)
+    t_box = jnp.where(hit, tmin, big)
+    t_box_best = jnp.min(t_box, axis=-1)                     # (H, W)
+    box_id = jnp.argmin(t_box, axis=-1)
+
+    t_best = jnp.minimum(t_ground, t_box_best)
+    surf_id = jnp.where(t_box_best < t_ground, box_id + 1, 0)
+    valid = t_best < jnp.minimum(max_range, big * 0.5)
+
+    p_world = origin[None, None, :] + t_best[..., None] * dirs_w
+    inten = _intensity_texture(p_world, surf_id)
+    xyz_sensor = t_best[..., None] * dirs_s
+    xyz_sensor = jnp.where(valid[..., None], xyz_sensor, 0.0)
+    inten = jnp.where(valid, inten, 0.0)
+    return xyz_sensor.reshape(-1, 3), inten.reshape(-1)
+
+
+def corridor_trajectory(num_frames: int, speed: float = 0.3,
+                        yaw_rate: float = 0.0,
+                        height: float = 0.8) -> se3.Pose:
+    """Ground-truth poses (num_frames batch): forward motion along +x with
+    optional constant yaw rate; sensor at `height` above ground."""
+    i = jnp.arange(num_frames, dtype=jnp.float32)
+    yaw = yaw_rate * i
+    # integrate position under piecewise-constant heading
+    step_yaw = yaw_rate * jnp.arange(num_frames, dtype=jnp.float32)
+    dx = speed * jnp.cos(step_yaw)
+    dy = speed * jnp.sin(step_yaw)
+    x = jnp.concatenate([jnp.zeros(1), jnp.cumsum(dx)[:-1]])
+    y = jnp.concatenate([jnp.zeros(1), jnp.cumsum(dy)[:-1]])
+    q = se3.so3_exp(jnp.stack([jnp.zeros_like(yaw), jnp.zeros_like(yaw), yaw], -1))
+    t = jnp.stack([x, y, jnp.full_like(x, height)], -1)
+    return se3.Pose(q, t)
+
+
+def render_sequence(poses: se3.Pose, world: World, cfg: SensorConfig):
+    """vmapped renderer: returns (F, H*W, 3) xyz + (F, H*W) intensity."""
+    return jax.vmap(lambda q, t: render_scan(se3.Pose(q, t), world, cfg))(
+        poses.q, poses.t
+    )

@@ -1,0 +1,273 @@
+"""Corner detection + binary descriptors + matching on intensity images
+(reference C3).
+
+The reference runs OpenCV ORB (1000 features, 8 pyramid levels) on the
+intensity image with a crop mask, BFMatcher(Hamming, crossCheck=true), sorts
+matches by distance keeping the top 30% (`src/intensity_feature_tracker.cpp:
+609-646`), with a 2x-feature re-detect fallback keeping 20% (`:652-692`),
+and lifts pixels to 3D via the organized cloud (`:1071-1099`).
+
+TPU design — everything is dense tensor work over the (H, W) image:
+
+- detector: Shi-Tomasi min-eigenvalue corner response (Sobel gradients +
+  box-filtered structure tensor; pure convolutions that XLA fuses), NMS by
+  max-pooling, fixed-size top-K.  ORB's FAST is a CPU-friendly decision tree;
+  the corner-response formulation is the vectorized equivalent with better
+  repeatability.
+- descriptor: oriented BRIEF-256 — per-keypoint orientation by intensity
+  centroid (ORB's method), a fixed 256-pair sampling pattern rotated by the
+  orientation, bits packed into 8 uint32 words.  All K descriptors sample the
+  blurred image in one gather.
+- matcher: full K x K Hamming matrix via XOR + population count, mutual
+  nearest neighbors (= BFMatcher crossCheck), then the reference's
+  sort-and-keep-top-fraction rule implemented as a rank mask (fixed shapes).
+
+The pyramid is omitted: LiDAR intensity images have fixed metric scale per
+row, so scale invariance buys nothing frame-to-frame (consecutive scans view
+the scene at near-identical scale).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FeatureConfig
+from .projection import ScanImage
+
+# ---------------------------------------------------------------------------
+# Fixed BRIEF sampling pattern (generated once, deterministic).
+# LiDAR intensity images are short (64 rows) and wide (1024 cols, wrapping in
+# azimuth), so the support is anisotropic: wide in x (no border cost — columns
+# wrap), short in y (every border row is a lost detection ring).
+# ---------------------------------------------------------------------------
+_PATTERN_BITS = 256
+_PATCH_X = 15  # half-extent in azimuth (cols)
+_PATCH_Y = 6   # half-extent in elevation (rows) — vertical detection border
+
+
+def _make_pattern(seed: int = 1234) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    pts = rng.randn(_PATTERN_BITS, 2, 2)
+    pts[..., 0] = np.clip(pts[..., 0] * (_PATCH_X / 2.5), -_PATCH_X, _PATCH_X)
+    pts[..., 1] = np.clip(pts[..., 1] * (_PATCH_Y / 2.5), -_PATCH_Y, _PATCH_Y)
+    return pts.astype(np.float32)
+
+
+_PATTERN = jnp.asarray(_make_pattern())  # (256, 2, 2) [pair, endpoint, (dx,dy)]
+
+# elliptical offsets for the orientation centroid
+_ORI_OFF = np.stack(
+    np.meshgrid(np.arange(-_PATCH_X, _PATCH_X + 1),
+                np.arange(-_PATCH_Y, _PATCH_Y + 1),
+                indexing="xy"),
+    axis=-1,
+).reshape(-1, 2).astype(np.float32)
+_ORI_MASK = (
+    (_ORI_OFF[:, 0] / _PATCH_X) ** 2 + (_ORI_OFF[:, 1] / _PATCH_Y) ** 2 <= 1.0
+).astype(np.float32)
+_ORI_OFF_J = jnp.asarray(_ORI_OFF)
+_ORI_MASK_J = jnp.asarray(_ORI_MASK)
+
+
+class Features(NamedTuple):
+    uv: jax.Array        # (K, 2) int32 — (col, row) like cv::KeyPoint.pt
+    score: jax.Array     # (K,) float32 corner response
+    angle: jax.Array     # (K,) float32 orientation (rad)
+    desc: jax.Array      # (K, 8) uint32 — 256-bit binary descriptor
+    valid: jax.Array     # (K,) bool
+    xyz: jax.Array       # (K, 3) float32 lifted 3D points (sensor frame)
+    xyz_valid: jax.Array # (K,) bool — valid AND non-zero 3D lookup
+
+
+class Matches(NamedTuple):
+    src_idx: jax.Array   # (M,) int32 into previous-frame features
+    dst_idx: jax.Array   # (M,) int32 into current-frame features
+    dist: jax.Array      # (M,) float32 Hamming distance
+    valid: jax.Array     # (M,) bool
+    num_mutual: jax.Array  # () int32 — mutual NN count before the keep-frac cut
+    num_good: jax.Array    # () int32 — matches surviving all gates
+
+
+def _box_blur(img: jax.Array, k: int = 5) -> jax.Array:
+    """Separable box filter (BRIEF's standard smoothing): edge-pad rows,
+    wrap-pad columns (azimuth wraps), two 1-D convs XLA fuses."""
+    pad = k // 2
+    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="wrap")
+    kv = jnp.ones((1, 1, k, 1), img.dtype) / k
+    kh = jnp.ones((1, 1, 1, k), img.dtype) / k
+    y = jax.lax.conv(x[None, None], kv, (1, 1), "VALID")
+    y = jax.lax.conv(y, kh, (1, 1), "VALID")
+    return y[0, 0]
+
+
+def _sobel(img: jax.Array) -> tuple[jax.Array, jax.Array]:
+    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
+    ky = kx.T
+    x = jnp.pad(img, 1, mode="edge")[None, None]
+    gx = jax.lax.conv(x, kx[None, None], (1, 1), "VALID")[0, 0]
+    gy = jax.lax.conv(x, ky[None, None], (1, 1), "VALID")[0, 0]
+    return gx, gy
+
+
+def corner_response(img: jax.Array, window: int = 5) -> jax.Array:
+    """Shi-Tomasi min-eigenvalue response of the structure tensor."""
+    gx, gy = _sobel(img)
+    a = _box_blur(gx * gx, window)
+    b = _box_blur(gx * gy, window)
+    c = _box_blur(gy * gy, window)
+    tr2 = (a + c) * 0.5
+    det = jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
+    return tr2 - det
+
+
+def _maxpool2d(x: jax.Array, r: int) -> jax.Array:
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (2 * r + 1, 2 * r + 1), (1, 1), "SAME"
+    )
+
+
+@partial(jax.jit, static_argnames=("num_features", "nms_radius"))
+def detect(
+    img: jax.Array,
+    detect_mask: jax.Array,
+    num_features: int,
+    nms_radius: int = 2,
+    min_score: float = 1.0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-K corners: returns (uv (K,2) int32, score (K,), valid (K,))."""
+    H, W = img.shape
+    resp = corner_response(img)
+    # border: descriptor support must fit vertically (azimuth wraps)
+    row = jnp.arange(H)[:, None]
+    border_ok = (row >= _PATCH_Y) & (row < H - _PATCH_Y)
+    resp = jnp.where(detect_mask & border_ok, resp, -jnp.inf)
+    keep = resp >= _maxpool2d(resp, nms_radius)  # NMS
+    resp = jnp.where(keep, resp, -jnp.inf)
+    score, flat_idx = jax.lax.top_k(resp.reshape(-1), num_features)
+    uv = jnp.stack([flat_idx % W, flat_idx // W], axis=-1).astype(jnp.int32)
+    valid = score > min_score
+    return uv, score, valid
+
+
+def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
+    """Bilinear sample with azimuth wrap in x and clamp in y."""
+    H, W = img.shape
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    fx, fy = x - x0, y - y0.astype(y.dtype)
+    x0m, x1m = x0 % W, (x0 + 1) % W
+    v00 = img[y0, x0m]
+    v01 = img[y0, x1m]
+    v10 = img[y0 + 1, x0m]
+    v11 = img[y0 + 1, x1m]
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+@jax.jit
+def describe(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Oriented BRIEF-256 for K keypoints: returns (desc (K,8) uint32,
+    angle (K,))."""
+    blurred = _box_blur(img, 5)
+    u = uv[:, 0].astype(jnp.float32)  # col
+    v = uv[:, 1].astype(jnp.float32)  # row
+
+    # orientation: intensity centroid over the circular patch
+    ox = _ORI_OFF_J[:, 0][None, :]  # (1, P)
+    oy = _ORI_OFF_J[:, 1][None, :]
+    patch = _bilinear(blurred, u[:, None] + ox, v[:, None] + oy) * _ORI_MASK_J[None, :]
+    m10 = jnp.sum(patch * ox, axis=1)
+    m01 = jnp.sum(patch * oy, axis=1)
+    angle = jnp.arctan2(m01, m10)
+
+    ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
+    px = _PATTERN[None, :, :, 0]  # (1, 256, 2)
+    py = _PATTERN[None, :, :, 1]
+    rx = ca[:, None, None] * px - sa[:, None, None] * py + u[:, None, None]
+    ry = sa[:, None, None] * px + ca[:, None, None] * py + v[:, None, None]
+    samples = _bilinear(blurred, rx, ry)  # (K, 256, 2)
+    bits = (samples[:, :, 0] < samples[:, :, 1]).astype(jnp.uint32)  # (K, 256)
+    word = jnp.arange(_PATTERN_BITS) // 32
+    shift = jnp.arange(_PATTERN_BITS, dtype=jnp.uint32) % 32
+    packed = jax.vmap(
+        lambda b: jnp.zeros(8, jnp.uint32).at[word].add((b << shift).astype(jnp.uint32))
+    )(bits)
+    return packed, angle
+
+
+def extract(scan: ScanImage, detect_mask: jax.Array, cfg: FeatureConfig,
+            num_features: int | None = None) -> Features:
+    """Full per-frame front-end: detect + orient + describe + 3D lift."""
+    K = num_features or cfg.num_features
+    uv, score, valid = detect(scan.intensity, detect_mask, K, cfg.nms_radius)
+    desc, angle = describe(scan.intensity, uv)
+    xyz = scan.xyz[uv[:, 1], uv[:, 0]]
+    # near-zero filter (`extractPointsAndFilterZeroValue`,
+    # intensity_feature_tracker.cpp:1071-1099)
+    xyz_valid = valid & scan.valid[uv[:, 1], uv[:, 0]]
+    return Features(uv, score, angle, desc, valid, xyz, xyz_valid)
+
+
+def hamming_matrix(da: jax.Array, db: jax.Array) -> jax.Array:
+    """(Ka, 8) x (Kb, 8) uint32 -> (Ka, Kb) int32 Hamming distances."""
+    x = jnp.bitwise_xor(da[:, None, :], db[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("max_hamming",))
+def match(
+    fa_desc: jax.Array, fa_valid: jax.Array,
+    fb_desc: jax.Array, fb_valid: jax.Array,
+    keep_frac: jax.Array | float,
+    max_hamming: int = 64,
+) -> Matches:
+    """Mutual-NN Hamming matching with the reference's keep-top-fraction rule.
+
+    Mirrors BFMatcher(NORM_HAMMING, crossCheck=true) + sort + top 30%/20%
+    (`intensity_feature_tracker.cpp:631-646,684-689`).  keep_frac may be a
+    traced scalar so the retry path can reuse the compiled program.
+    """
+    BIG = jnp.int32(1 << 20)
+    d = hamming_matrix(fa_desc, fb_desc)
+    ok = fa_valid[:, None] & fb_valid[None, :]
+    d = jnp.where(ok, d, BIG)
+    best_b = jnp.argmin(d, axis=1)            # for each a: best b
+    best_a = jnp.argmin(d, axis=0)            # for each b: best a
+    Ka = fa_desc.shape[0]
+    ia = jnp.arange(Ka)
+    mutual = best_a[best_b] == ia
+    dist = d[ia, best_b]
+    cand = mutual & (dist < max_hamming)
+    num_mutual = jnp.sum(cand)
+
+    # sort-and-keep-top-fraction as a rank mask (static shapes)
+    sort_key = jnp.where(cand, dist, BIG)
+    order = jnp.argsort(sort_key)
+    rank = jnp.zeros(Ka, jnp.int32).at[order].set(jnp.arange(Ka, dtype=jnp.int32))
+    keep_n = jnp.ceil(num_mutual.astype(jnp.float32) * keep_frac).astype(jnp.int32)
+    good = cand & (rank < keep_n)
+    return Matches(
+        src_idx=ia.astype(jnp.int32),
+        dst_idx=best_b.astype(jnp.int32),
+        dist=dist.astype(jnp.float32),
+        valid=good,
+        num_mutual=num_mutual.astype(jnp.int32),
+        num_good=jnp.sum(good).astype(jnp.int32),
+    )
+
+
+def matched_points(fa: Features, fb: Features, m: Matches):
+    """Gather matched 3D correspondences: (src (K,3), dst (K,3), w (K,)).
+
+    Weight is zero unless both endpoints have valid 3D lifts — the TPU
+    analogue of the reference's zero-point filtering before the Ceres solve.
+    """
+    src = fa.xyz[m.src_idx]
+    dst = fb.xyz[m.dst_idx]
+    w = (m.valid & fa.xyz_valid[m.src_idx] & fb.xyz_valid[m.dst_idx]).astype(jnp.float32)
+    return src, dst, w
