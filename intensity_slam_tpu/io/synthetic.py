@@ -69,16 +69,28 @@ def _ray_dirs(cfg: SensorConfig, fov_up=16.6, fov_down=-16.6) -> jax.Array:
     )
 
 
+def _hash_noise(cell: jax.Array) -> jax.Array:
+    """Deterministic value noise per integer cell (..., 3) -> [0, 1).
+    Makes every world cell visually distinct so descriptors don't alias —
+    a repeating checkerboard would make mutual-NN matching degenerate in a
+    way real LiDAR intensity never is."""
+    h = jnp.sin(
+        cell[..., 0] * 12.9898 + cell[..., 1] * 78.233 + cell[..., 2] * 45.164
+    ) * 43758.5453
+    return h - jnp.floor(h)
+
+
 def _intensity_texture(p: jax.Array, normal_id: jax.Array) -> jax.Array:
-    """Procedural intensity at world hit points (N..., 3) — a mix of
-    checkerboard and sinusoid grids so corner detectors have real structure."""
+    """Procedural intensity at world hit points (N..., 3): unique-per-cell
+    value noise (two scales) + mild sinusoids, so corner detectors find
+    dense, globally distinctive structure."""
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    checker = ((jnp.floor(x * 2.0) + jnp.floor(y * 2.0) + jnp.floor(z * 2.0)) % 2.0)
-    waves = (
-        jnp.sin(x * 7.3) * jnp.sin(y * 9.1 + 1.7)
-        + jnp.sin(z * 11.0 + x * 3.0)
-    )
-    base = 60.0 + 80.0 * checker + 40.0 * waves + 15.0 * jnp.sin(x * 0.7)
+    cell_f = jnp.floor(p * 4.0)         # 0.25 m cells
+    cell_c = jnp.floor(p * 1.0)         # 1 m cells
+    n_f = _hash_noise(cell_f)
+    n_c = _hash_noise(cell_c)
+    waves = jnp.sin(x * 7.3) * jnp.sin(y * 9.1 + 1.7)
+    base = 40.0 + 120.0 * n_f + 60.0 * n_c + 20.0 * waves
     # different surfaces get different albedo so edges are visible
     albedo = 1.0 + 0.15 * (normal_id.astype(jnp.float32) % 3.0)
     return jnp.clip(base * albedo, 1.0, 255.0)

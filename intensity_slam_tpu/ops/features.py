@@ -139,20 +139,48 @@ def detect(
     num_features: int,
     nms_radius: int = 2,
     min_score: float = 1.0,
-) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Top-K corners: returns (uv (K,2) int32, score (K,), valid (K,))."""
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Top-K corners: returns (uv (K,2) int32, uv_sub (K,2) f32 subpixel,
+    score (K,), valid (K,))."""
     H, W = img.shape
-    resp = corner_response(img)
+    resp_raw = corner_response(img)
     # border: descriptor support must fit vertically (azimuth wraps)
     row = jnp.arange(H)[:, None]
     border_ok = (row >= _PATCH_Y) & (row < H - _PATCH_Y)
-    resp = jnp.where(detect_mask & border_ok, resp, -jnp.inf)
+    resp = jnp.where(detect_mask & border_ok, resp_raw, -jnp.inf)
     keep = resp >= _maxpool2d(resp, nms_radius)  # NMS
     resp = jnp.where(keep, resp, -jnp.inf)
     score, flat_idx = jax.lax.top_k(resp.reshape(-1), num_features)
     uv = jnp.stack([flat_idx % W, flat_idx // W], axis=-1).astype(jnp.int32)
     valid = score > min_score
-    return uv, score, valid
+    uv_sub = _refine_subpixel(resp_raw, uv)
+    return uv, uv_sub, score, valid
+
+
+def _refine_subpixel(resp: jax.Array, uv: jax.Array) -> jax.Array:
+    """Quadratic sub-pixel refinement of response peaks (2x2 Newton step on
+    the local quadratic model); offsets clamped to half a pixel."""
+    H, W = resp.shape
+    u, v = uv[:, 0], uv[:, 1]
+
+    def at(du, dv):
+        return resp[jnp.clip(v + dv, 0, H - 1), (u + du) % W]
+
+    c = at(0, 0)
+    dx = (at(1, 0) - at(-1, 0)) * 0.5
+    dy = (at(0, 1) - at(0, -1)) * 0.5
+    dxx = at(1, 0) + at(-1, 0) - 2 * c
+    dyy = at(0, 1) + at(0, -1) - 2 * c
+    dxy = (at(1, 1) - at(1, -1) - at(-1, 1) + at(-1, -1)) * 0.25
+    det = dxx * dyy - dxy * dxy
+    safe = jnp.abs(det) > 1e-9
+    det = jnp.where(safe, det, 1.0)
+    ox = -(dyy * dx - dxy * dy) / det
+    oy = -(dxx * dy - dxy * dx) / det
+    ok = safe & (jnp.abs(ox) <= 0.5) & (jnp.abs(oy) <= 0.5)
+    ox = jnp.where(ok, ox, 0.0)
+    oy = jnp.where(ok, oy, 0.0)
+    return jnp.stack([u + ox, v + oy], axis=-1)
 
 
 def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
@@ -200,13 +228,44 @@ def describe(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     return packed, angle
 
 
+def lift_subpixel(scan: ScanImage, uv_int: jax.Array, uv_sub: jax.Array):
+    """3D lift at sub-pixel positions, guarded against depth discontinuities.
+
+    Bilinear interpolation of the xyz image is only meaningful when all four
+    neighboring pixels lie on the same surface; across an occlusion boundary
+    it would invent phantom points.  Guard: the 4 neighbor ranges must agree
+    with the center range within 2% + 5 cm, else fall back to the integer
+    pixel's point (the reference's behavior, which always uses the integer
+    lookup, `intensity_feature_tracker.cpp:1082`).
+    """
+    H, W = scan.range.shape
+    x, y = uv_sub[:, 0], uv_sub[:, 1]
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, H - 2)
+    r_c = scan.range[uv_int[:, 1], uv_int[:, 0]]
+
+    def rng(dy, dx):
+        return scan.range[y0 + dy, (x0 + dx) % W]
+
+    tol = 0.02 * r_c + 0.05
+    same_surf = (
+        (jnp.abs(rng(0, 0) - r_c) < tol) & (jnp.abs(rng(0, 1) - r_c) < tol)
+        & (jnp.abs(rng(1, 0) - r_c) < tol) & (jnp.abs(rng(1, 1) - r_c) < tol)
+    )
+    xyz_b = jax.vmap(lambda ch: _bilinear(scan.xyz[:, :, ch], x, y),
+                     out_axes=1)(jnp.arange(3))
+    xyz_i = scan.xyz[uv_int[:, 1], uv_int[:, 0]]
+    return jnp.where(same_surf[:, None], xyz_b, xyz_i)
+
+
 def extract(scan: ScanImage, detect_mask: jax.Array, cfg: FeatureConfig,
             num_features: int | None = None) -> Features:
     """Full per-frame front-end: detect + orient + describe + 3D lift."""
     K = num_features or cfg.num_features
-    uv, score, valid = detect(scan.intensity, detect_mask, K, cfg.nms_radius)
+    uv, uv_sub, score, valid = detect(scan.intensity, detect_mask, K,
+                                      cfg.nms_radius)
     desc, angle = describe(scan.intensity, uv)
-    xyz = scan.xyz[uv[:, 1], uv[:, 0]]
+    xyz = lift_subpixel(scan, uv, uv_sub)
     # near-zero filter (`extractPointsAndFilterZeroValue`,
     # intensity_feature_tracker.cpp:1071-1099)
     xyz_valid = valid & scan.valid[uv[:, 1], uv[:, 0]]

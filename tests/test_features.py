@@ -23,7 +23,7 @@ def test_detect_finds_synthetic_corners():
     img = img.at[18:26, 40:60].set(200.0)
     img = img.at[16:24, 120:150].set(150.0)
     mask = jnp.ones((H, W), bool)
-    uv, score, valid = features.detect(img, mask, 32)
+    uv, uv_sub, score, valid = features.detect(img, mask, 32)
     assert int(valid.sum()) >= 4
     # all detections near the squares
     u, v = np.asarray(uv[valid][:, 0]), np.asarray(uv[valid][:, 1])

@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Replay CLI: run the SLAM pipeline over a synthetic or recorded sequence.
+
+Usage:
+  python tools/replay.py --frames 40 [--check-ate] [--speed 0.35]
+                         [--yaw-rate 0.005] [--small] [--npz path.npz]
+
+With --npz, loads a recorded log: arrays `xyz` (T, H*W, 3), `intensity`
+(T, H*W), `times` (T,), optional `gt_q`/`gt_t` for ATE.  Otherwise renders a
+synthetic corridor sequence with known ground truth.
+"""
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from intensity_slam_tpu import config
+from intensity_slam_tpu.io import synthetic
+from intensity_slam_tpu.pipeline import odometry
+from intensity_slam_tpu.utils import se3
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=40)
+    ap.add_argument("--speed", type=float, default=0.35)
+    ap.add_argument("--yaw-rate", type=float, default=0.005)
+    ap.add_argument("--check-ate", action="store_true")
+    # pure scan-to-scan odometry drifts ~2-4% of distance; the scan-to-map
+    # back-end tightens this (reference behavior is the same, CS-3)
+    ap.add_argument("--ate-bound", type=float, default=0.6)
+    ap.add_argument("--small", action="store_true", help="small test shapes")
+    ap.add_argument("--npz", type=str, default=None)
+    args = ap.parse_args()
+
+    cfg = config.small_test_config() if args.small else config.SlamConfig()
+
+    if args.npz:
+        data = np.load(args.npz)
+        xyz = jnp.asarray(data["xyz"])
+        inten = jnp.asarray(data["intensity"])
+        times = jnp.asarray(data["times"])
+        gt_t = jnp.asarray(data["gt_t"]) if "gt_t" in data else None
+    else:
+        world = synthetic.corridor_world()
+        poses = synthetic.corridor_trajectory(
+            args.frames, speed=args.speed, yaw_rate=args.yaw_rate)
+        xyz, inten = jax.jit(
+            lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world, cfg.sensor)
+        )(poses.q, poses.t)
+        times = jnp.arange(args.frames, dtype=jnp.float32) * cfg.sensor.scan_period
+        p0 = se3.Pose(poses.q[0], poses.t[0])
+        gt_t = jax.vmap(
+            lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+        )(poses.q, poses.t)
+
+    t0 = time.perf_counter()
+    outs = jax.jit(lambda x, i, t: odometry.run_sequence(x, i, t, cfg))(
+        xyz, inten, times)
+    jax.block_until_ready(outs.pose.t)
+    dt = time.perf_counter() - t0
+
+    T = xyz.shape[0]
+    skips = np.asarray(outs.skip).astype(int)
+    print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
+    print(f"skips: {skips.sum()} ({skips.tolist()[:20]}...)")
+    print(f"keyframes: {int(np.asarray(outs.is_keyframe).sum())}")
+    print(f"matches/frame (median): {int(np.median(np.asarray(outs.num_good)[1:]))}")
+    print(f"final pose t: {np.asarray(outs.pose.t[-1]).round(3).tolist()}")
+
+    if gt_t is not None:
+        ate = float(odometry.ate_rmse(outs.pose.t, gt_t))
+        end = float(jnp.linalg.norm(outs.pose.t[-1] - gt_t[-1]))
+        print(f"ATE RMSE: {ate:.4f} m   end error: {end:.4f} m")
+        if args.check_ate and ate > args.ate_bound:
+            print(f"FAIL: ATE {ate:.4f} > bound {args.ate_bound}")
+            return 1
+        if args.check_ate:
+            print(f"PASS: ATE within bound {args.ate_bound}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
