@@ -104,6 +104,10 @@ class MappingConfig:
     cell_capacity: int = 8            # points per voxel cell
     cell_size: float = 0.4            # hash voxel edge
     max_query_points: int = 4096      # padded per-frame ground points for NN
+    # odometry-prediction anchor, sqrt-information per tangent axis
+    # (roll, pitch, yaw, x, y, z): weak where the ground map observes
+    # strongly (roll/pitch/z), strong where it observes nothing (x/y/yaw)
+    prior_sqrt_info: tuple = (5.0, 5.0, 100.0, 50.0, 50.0, 2.0)
 
 
 @dataclass(frozen=True)

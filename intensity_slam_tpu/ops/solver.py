@@ -117,9 +117,22 @@ def solve_pose(
     def step(carry, _):
         pose, lam, cost = carry
         H, b = linearize(pose)
-        damped = H + lam * jnp.eye(6, dtype=b.dtype) * jnp.maximum(jnp.diag(H), 1e-8)
-        # 6x6 solve: Cholesky via generic solve (tiny — negligible)
+        # damping: LM diag scaling PLUS an absolute Tikhonov floor.  The
+        # floor matters when the problem has a gauge/null space (e.g. the
+        # ground-plane-only mapping solve leaves x/y/yaw unconstrained):
+        # diag(H) is ~0 there and pure diag-scaled damping lets float noise
+        # in b drive huge null-space steps.  With an absolute floor the
+        # null-space component of delta is ~0 instead.
+        diag = jnp.diag(H)
+        floor = 1e-6 * jnp.maximum(jnp.max(diag), 1.0)
+        damped = H + jnp.eye(6, dtype=b.dtype) * (
+            lam * jnp.maximum(diag, 1e-8) + floor
+        )
         delta = -jnp.linalg.solve(damped, b)
+        # trust region: pose increments beyond ~1 rad / 1 m are never
+        # legitimate for scan registration — clip rather than diverge
+        dn = jnp.linalg.norm(delta)
+        delta = delta * jnp.minimum(1.0, 1.0 / jnp.maximum(dn, 1e-12))
         cand = se3.retract(pose, delta)
         new_cost = cost_of(cand)
         if use_lm:
@@ -218,6 +231,27 @@ def point_to_plane_3pt(
         pw = se3.quat_rotate(p.q[None, :], pts) + p.t[None, :]
         r = jnp.sum((pw - pa) * n, axis=-1)
         return r[:, None], w
+
+    return fn
+
+
+def pose_prior(prior: Pose, sqrt_info: jax.Array) -> ResidualFn:
+    """Anchor to a predicted pose: r = sqrt_info * log(prior^-1 o pose),
+    one 6-dim block.  Tangent order (rot, trans).
+
+    No single functor in the reference corresponds to this, but the behavior
+    does: Ceres starts each scan-to-map solve at the odometry prediction and
+    its trust region keeps weakly-observed directions near it
+    (`mapOptimization.cpp:432-442` with the `:730-736` prior).  With
+    explicit IRLS-GN the same robustness needs an explicit anchor: the
+    ground-plane core observes z/roll/pitch strongly and x/y/yaw not at
+    all, so micro-tilted plane fits would otherwise random-walk the pose in
+    the null space.  Per-axis sqrt_info encodes exactly which directions
+    the map may override."""
+
+    def fn(p: Pose):
+        xi = se3.se3_log(se3.compose(se3.inverse(prior), p))
+        return (sqrt_info * xi)[None, :], jnp.ones((1,), xi.dtype)
 
     return fn
 

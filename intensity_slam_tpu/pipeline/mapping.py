@@ -1,0 +1,178 @@
+"""Scan-to-map back-end (reference C14, call stack CS-3).
+
+Replicates `mapOptimization::mapOptimizationCallback`
+(`src/mapOptimization.cpp:99-505`):
+
+- predict the map-frame pose from the merged odometry via the map<->odom
+  anchor: `transformAssociateToMap` (`:730-736`)
+- the active residual core (`:364-430`): every voxel-downsampled ground
+  point is matched to its 5 nearest map points, a plane is least-squares
+  fitted through them, validity-checked at 0.2 m, and contributes a
+  `LidarPlaneNormFactor` point-to-plane residual; Ceres DENSE_QR <=10 iters
+- on convergence `transformUpdate` re-anchors map<->odom (`:740-746`)
+- world-transformed ground and corner points are inserted into the
+  incremental map (`:467-479`; ikd-Trees there, voxel grid-hash here)
+
+Dropped reference paths, for the record: the previous-frame ORB BA residuals
+are disabled in the reference itself (`&& false`, `:251`), and the
+sliding-window ORB BA is inert with the shipped `sliding_window_size: 0`
+(`spot.yaml:46`, code `:295-361`).  The corner ikd-Tree is built and fed but
+never used in residuals (`:504-505,478-479`) — we keep a corner map for the
+same visualization/completeness role.
+
+TPU design: correspondences for the whole scan are one batched 27-cell
+k-NN gather; all plane fits are one batched 3x3 normal-equation solve; the
+pose solve is the shared robust GN core.  The whole step is a single jitted
+program; no host round-trips.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..ops import grid_hash, solver
+from ..ops.voxel import voxel_downsample
+from ..utils import se3
+from ..utils.se3 import Pose
+
+
+class MappingState(NamedTuple):
+    ground_map: grid_hash.VoxelHashMap
+    corner_map: grid_hash.VoxelHashMap
+    T_map_odom: Pose            # re-anchored map<->odom transform
+    initialized: jax.Array      # () bool
+    frame_idx: jax.Array        # () int32
+
+
+class MappingOutput(NamedTuple):
+    pose: Pose                  # refined map-frame pose of this scan
+    num_plane_residuals: jax.Array  # () int32
+    solve_cost: jax.Array
+    converged: jax.Array
+    map_points: jax.Array       # () int32 ground-map size
+
+
+def init_state(cfg: SlamConfig) -> MappingState:
+    mc = cfg.mapping
+    num_sets = mc.map_capacity // (4 * 8)
+    return MappingState(
+        ground_map=grid_hash.empty(num_sets, 4),
+        corner_map=grid_hash.empty(num_sets, 4),
+        T_map_odom=Pose.identity(),
+        initialized=jnp.asarray(False),
+        frame_idx=jnp.asarray(0, jnp.int32),
+    )
+
+
+def _fit_planes(neigh: jax.Array, nvalid: jax.Array, threshold: float):
+    """Batched plane fit through k neighbors (reference `:377-430`).
+
+    Solves X n = -1 per query via 3x3 normal equations; returns unit normal
+    (Q, 3), offset d (Q,), and validity (all k neighbors within `threshold`
+    of the fitted plane, and all k present).
+    """
+    ones = -jnp.ones(neigh.shape[:2], neigh.dtype)
+    XtX = jnp.einsum("qki,qkj->qij", neigh, neigh)
+    Xt1 = jnp.einsum("qki,qk->qi", neigh, ones)
+    # regularize to keep the solve finite for degenerate neighborhoods;
+    # validity gating rejects those fits anyway
+    XtX = XtX + 1e-8 * jnp.eye(3, dtype=neigh.dtype)
+    n_raw = jnp.linalg.solve(XtX, Xt1[..., None])[..., 0]
+    norm = jnp.linalg.norm(n_raw, axis=-1)
+    good_norm = norm > 1e-6
+    n = n_raw / jnp.maximum(norm, 1e-6)[:, None]
+    d = 1.0 / jnp.maximum(norm, 1e-6)
+    # plane validity: every neighbor within threshold (reference `:406-414`)
+    dist = jnp.abs(jnp.einsum("qki,qi->qk", neigh, n) + d[:, None])
+    all_near = jnp.all(jnp.where(nvalid, dist <= threshold, False), axis=-1)
+    have_all = jnp.all(nvalid, axis=-1)
+    return n, d, good_norm & all_near & have_all
+
+
+def mapping_step(
+    state: MappingState,
+    ground_pts: jax.Array,      # (N, 3) sensor-frame ground points (masked)
+    ground_mask: jax.Array,     # (N,) bool
+    corner_pts: jax.Array,      # (Nc, 3) sensor-frame corner/edge points
+    corner_mask: jax.Array,     # (Nc,) bool
+    odom_pose: Pose,            # merged odometry pose (odom frame)
+    cfg: SlamConfig,
+) -> tuple[MappingState, MappingOutput]:
+    mc = cfg.mapping
+    ground_cell = 2.0 * mc.ground_voxel   # octant resolution = ground_voxel
+    corner_cell = 2.0 * mc.corner_voxel
+
+    # --- pose prior: T_w_sensor = T_map_odom o odom_pose (`:730-736`)
+    prior = se3.compose(state.T_map_odom, odom_pose)
+
+    # --- downsample the scan's ground points (PCL voxel filter analogue)
+    q_pts, q_mask = voxel_downsample(
+        ground_pts, ground_mask, mc.ground_voxel, mc.max_query_points
+    )
+
+    # --- correspondences at the prior pose: 5-NN in the ground map
+    q_world = se3.transform_points(prior, q_pts)
+    neigh, sq, nvalid = grid_hash.knn(
+        state.ground_map, q_world, ground_cell, k=mc.knn
+    )
+    n, d, plane_ok = _fit_planes(neigh, nvalid, mc.plane_valid_threshold)
+    w = (q_mask & plane_ok).astype(jnp.float32)
+    num_res = jnp.sum(w).astype(jnp.int32)
+
+    # --- robust GN solve from the prior (`:432-442`), anchored by a
+    # per-axis prior factor: the ground-plane core observes z/roll/pitch;
+    # x/y/yaw stay near the odometry prediction unless stronger residuals
+    # (corner/edge factors) override them
+    enough = num_res >= 16
+    prior_sqrt_info = jnp.asarray(mc.prior_sqrt_info, jnp.float32)
+    fn = solver.concat_residuals(
+        (solver.point_to_plane_nd(
+            q_pts, n, d, w * enough.astype(jnp.float32)), 1),
+        (solver.pose_prior(prior, prior_sqrt_info), 6),
+    )
+    res = solver.solve_pose(
+        prior,
+        fn,
+        iters=mc.gn_iters,
+        robust="huber",
+        robust_scale=0.2,
+    )
+    # keep the prior when the map is empty / not enough structure
+    do_solve = state.initialized & enough
+    pose = jax.tree.map(
+        lambda s, p: jnp.where(do_solve, s, p), res.pose, prior
+    )
+
+    # --- re-anchor map<->odom (`transformUpdate`, `:740-746`)
+    T_mo = se3.compose(pose, se3.inverse(odom_pose))
+    T_map_odom = jax.tree.map(
+        lambda new, old: jnp.where(do_solve, new, old), T_mo, state.T_map_odom
+    )
+
+    # --- map insert: world-transformed ground + corner points (`:467-479`)
+    g_world = se3.transform_points(pose, ground_pts)
+    ground_map = grid_hash.insert(state.ground_map, g_world, ground_mask,
+                                  ground_cell)
+    c_world = se3.transform_points(pose, corner_pts)
+    corner_map = grid_hash.insert(state.corner_map, c_world, corner_mask,
+                                  corner_cell)
+
+    new_state = MappingState(
+        ground_map=ground_map,
+        corner_map=corner_map,
+        T_map_odom=T_map_odom,
+        initialized=state.initialized | (jnp.sum(ground_mask) > 0),
+        frame_idx=state.frame_idx + 1,
+    )
+    out = MappingOutput(
+        pose=pose,
+        num_plane_residuals=num_res,
+        solve_cost=res.final_cost,
+        converged=res.converged,
+        map_points=ground_map.num_points,
+    )
+    return new_state, out

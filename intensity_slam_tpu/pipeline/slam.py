@@ -1,0 +1,128 @@
+"""Full SLAM pipeline: odometry stream + scan-to-map back-end in one step.
+
+Composes the stages the reference runs as five OS processes connected by ROS
+topics (SURVEY §3 topic graph) into a single jitted per-frame program:
+
+    scan -> project (C1) -> intensity odometry (C3-C6)
+         -> ground extraction (C2)
+         -> odometry mux (C13): intensity delta unless skipped
+         -> scan-to-map refine + map insert (C14)
+
+The mux contract (`odom_handler_node.cpp:96-131`): per frame, compose the
+incremental delta from the intensity stream when it is valid, else from the
+geometric fallback stream.  The geometric A-LOAM pipeline (C11/C12) plugs in
+via the `fallback_delta` argument; until a frame provides one, a skipped
+frame contributes an identity delta (constant-position fallback).
+
+Pose graph + loop closure (C7-C10) consume the keyframe outputs downstream
+(pipeline.posegraph / pipeline.loop).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..ops import ground, projection
+from ..utils import se3
+from ..utils.se3 import Pose
+from . import mapping, odometry
+
+
+class SlamState(NamedTuple):
+    odo: odometry.OdometryState
+    mapping: mapping.MappingState
+    merged_pose: Pose           # mux-integrated odometry (odom frame)
+    rng: jax.Array
+
+
+class SlamOutput(NamedTuple):
+    pose: Pose                  # final map-frame pose (mapping-refined)
+    odom_pose: Pose             # merged odometry pose (before mapping)
+    skip: jax.Array
+    is_keyframe: jax.Array
+    num_good: jax.Array
+    num_plane_residuals: jax.Array
+    ground_ok: jax.Array
+    map_points: jax.Array
+
+
+def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
+    return SlamState(
+        odo=odometry.init_state(cfg),
+        mapping=mapping.init_state(cfg),
+        merged_pose=Pose.identity(),
+        rng=jax.random.PRNGKey(seed),
+    )
+
+
+def slam_step(
+    state: SlamState,
+    xyz: jax.Array,            # (H*W, 3) organized scan
+    inten: jax.Array,          # (H*W,)
+    timestamp: jax.Array,
+    detect_mask: jax.Array,
+    cfg: SlamConfig,
+    fallback_delta: Pose | None = None,
+) -> tuple[SlamState, SlamOutput]:
+    scan = projection.project_organized(xyz, inten, cfg.sensor)
+
+    # --- intensity odometry (CS-1)
+    odo_state, odo_out = odometry.odometry_step(
+        state.odo, scan, timestamp, detect_mask, cfg
+    )
+
+    # --- mux (C13): intensity delta unless skipped
+    if fallback_delta is None:
+        fallback_delta = Pose.identity()
+    delta = jax.tree.map(
+        lambda a, b: jnp.where(odo_out.skip, b, a), odo_out.delta, fallback_delta
+    )
+    merged = se3.compose(state.merged_pose, delta)
+
+    # --- ground extraction (C2)
+    rng, sub = jax.random.split(state.rng)
+    gres = ground.extract_ground(sub, xyz, scan.valid.reshape(-1), cfg.ground)
+
+    # --- scan-to-map (C14); corner features plug in from the geometric
+    # pipeline — empty until C11 provides them
+    nc = 8
+    map_state, map_out = mapping.mapping_step(
+        state.mapping,
+        xyz, gres.ground_mask,
+        jnp.zeros((nc, 3)), jnp.zeros((nc,), bool),
+        merged, cfg,
+    )
+
+    new_state = SlamState(
+        odo=odo_state, mapping=map_state, merged_pose=merged, rng=rng
+    )
+    out = SlamOutput(
+        pose=map_out.pose,
+        odom_pose=merged,
+        skip=odo_out.skip,
+        is_keyframe=odo_out.is_keyframe,
+        num_good=odo_out.num_good,
+        num_plane_residuals=map_out.num_plane_residuals,
+        ground_ok=gres.ok,
+        map_points=map_out.map_points,
+    )
+    return new_state, out
+
+
+def run_sequence(
+    xyz_seq: jax.Array, inten_seq: jax.Array, times: jax.Array, cfg: SlamConfig
+) -> SlamOutput:
+    """Replay a sequence through the full pipeline under lax.scan."""
+    mask = projection.detection_mask(cfg.sensor)
+
+    def step(state, inp):
+        x, i, t = inp
+        state, out = slam_step(state, x, i, t, mask, cfg)
+        return state, out
+
+    _, outs = jax.lax.scan(step, init_state(cfg), (xyz_seq, inten_seq, times))
+    return outs

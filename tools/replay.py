@@ -22,7 +22,7 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from intensity_slam_tpu import config
 from intensity_slam_tpu.io import synthetic
-from intensity_slam_tpu.pipeline import odometry
+from intensity_slam_tpu.pipeline import odometry, slam
 from intensity_slam_tpu.utils import se3
 
 
@@ -37,6 +37,7 @@ def main() -> int:
     ap.add_argument("--ate-bound", type=float, default=0.6)
     ap.add_argument("--small", action="store_true", help="small test shapes")
     ap.add_argument("--npz", type=str, default=None)
+    ap.add_argument("--pipeline", choices=["slam", "odometry"], default="slam")
     args = ap.parse_args()
 
     cfg = config.small_test_config() if args.small else config.SlamConfig()
@@ -60,9 +61,9 @@ def main() -> int:
             lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
         )(poses.q, poses.t)
 
+    runner = slam.run_sequence if args.pipeline == "slam" else odometry.run_sequence
     t0 = time.perf_counter()
-    outs = jax.jit(lambda x, i, t: odometry.run_sequence(x, i, t, cfg))(
-        xyz, inten, times)
+    outs = jax.jit(lambda x, i, t: runner(x, i, t, cfg))(xyz, inten, times)
     jax.block_until_ready(outs.pose.t)
     dt = time.perf_counter() - t0
 
