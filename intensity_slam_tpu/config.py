@@ -68,6 +68,9 @@ class OdometryConfig:
     gn_iters: int = 20                # Ceres max_num_iterations=20, intensity_feature_tracker.cpp:921
     huber_delta: float = 0.1          # HuberLoss(0.1), :908
     lm_lambda0: float = 1e-4
+    min_hessian_eig: float = 2.0      # degeneracy gate on the weakest solve
+    # direction (no reference counterpart in the front-end; same idea as
+    # LOAM's mapping eigen check) — tuned on synthetic sequences
     keyframe_time_interval: float = 0.3   # spot.yaml:35
     keyframe_distance_interval: float = 0.3  # spot.yaml:36
 

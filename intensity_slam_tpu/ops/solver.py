@@ -45,6 +45,10 @@ class SolveResult(NamedTuple):
     initial_cost: jax.Array
     iterations: jax.Array     # () int32 (== max iters; fixed-trip-count)
     converged: jax.Array      # () bool — gradient norm below tol at exit
+    min_hessian_eig: jax.Array  # () smallest eigenvalue of J^T W J at the
+    # solution — the degeneracy signal (LOAM's eigen check,
+    # `laserMapping.cpp:665-723` uses the same idea on AtA): near-zero means
+    # some pose direction is unobserved and the estimate there is garbage
 
 
 def huber_weight(sq_norm: jax.Array, delta: float) -> jax.Array:
@@ -149,12 +153,15 @@ def solve_pose(
     (pose, _, cost), gnorms = jax.lax.scan(
         step, (pose0, jnp.asarray(lm_lambda0, c0.dtype), c0), None, length=iters
     )
+    H_final, _ = linearize(pose)
+    min_eig = jnp.linalg.eigvalsh(H_final)[0]
     return SolveResult(
         pose=pose,
         final_cost=cost,
         initial_cost=c0,
         iterations=jnp.int32(iters),
         converged=gnorms[-1] < grad_tol * jnp.maximum(1.0, c0),
+        min_hessian_eig=min_eig,
     )
 
 

@@ -104,7 +104,7 @@ def odometry_step(
     num_good = jnp.sum(w).astype(jnp.int32)
 
     # good-frame gate (`:693`): prev exists, good >= 4, good != all-mutual
-    good_frame = (
+    pre_good = (
         state.has_prev
         & (num_good >= fc.min_good_matches)
         & (num_good != m.num_mutual)
@@ -112,12 +112,18 @@ def odometry_step(
 
     res = solver.solve_pose(
         Pose.identity(),
-        solver.point_to_point(src, dst, w * good_frame.astype(jnp.float32)),
+        solver.point_to_point(src, dst, w * state.has_prev.astype(jnp.float32)),
         iters=oc.gn_iters,
         robust="huber",
         robust_scale=oc.huber_delta,
         lm_lambda0=oc.lm_lambda0,
     )
+    # degeneracy gate: a handful of distant/aliased matches can pass the
+    # count gate yet leave pose directions unobserved (e.g. silhouette
+    # corners on a far wall).  The smallest Hessian eigenvalue measures the
+    # weakest-direction information; below threshold the frame is degenerate
+    # and the geometric fallback takes over.
+    good_frame = pre_good & (res.min_hessian_eig >= oc.min_hessian_eig)
     ident = Pose.identity()
     delta = jax.tree.map(
         lambda g, i: jnp.where(good_frame, g, i), res.pose, ident

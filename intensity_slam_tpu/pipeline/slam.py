@@ -26,14 +26,15 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..ops import ground, projection
+from ..ops import curvature, ground, projection
 from ..utils import se3
 from ..utils.se3 import Pose
-from . import mapping, odometry
+from . import geometric, mapping, odometry
 
 
 class SlamState(NamedTuple):
     odo: odometry.OdometryState
+    geo: geometric.GeometricState
     mapping: mapping.MappingState
     merged_pose: Pose           # mux-integrated odometry (odom frame)
     rng: jax.Array
@@ -51,8 +52,11 @@ class SlamOutput(NamedTuple):
 
 
 def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
+    gc, sc = cfg.geometric, cfg.sensor
+    num_less_sharp = sc.image_height * gc.num_segments * gc.less_sharp_per_segment
     return SlamState(
         odo=odometry.init_state(cfg),
+        geo=geometric.init_state(cfg, num_less_sharp, gc.max_surf_points),
         mapping=mapping.init_state(cfg),
         merged_pose=Pose.identity(),
         rng=jax.random.PRNGKey(seed),
@@ -75,30 +79,40 @@ def slam_step(
         state.odo, scan, timestamp, detect_mask, cfg
     )
 
-    # --- mux (C13): intensity delta unless skipped
+    # --- geometric features every frame (scanRegistration runs per scan);
+    # the fallback SOLVE only on skip (`laserOdometry.cpp:406-417`)
+    fc = curvature.extract_features(scan, cfg.sensor, cfg.geometric)
     if fallback_delta is None:
-        fallback_delta = Pose.identity()
+        fallback_delta = jax.lax.cond(
+            odo_out.skip & state.geo.has_prev,
+            lambda: geometric.geometric_delta(state.geo, fc, cfg),
+            lambda: Pose.identity(),
+        )
+    # --- mux (C13): intensity delta unless skipped
     delta = jax.tree.map(
         lambda a, b: jnp.where(odo_out.skip, b, a), odo_out.delta, fallback_delta
     )
     merged = se3.compose(state.merged_pose, delta)
+    # the mux delta (whichever stream produced it) is the best velocity
+    # estimate — warm-starts the next geometric solve
+    geo_state = geometric.update_state(state.geo, fc, delta)
 
     # --- ground extraction (C2)
     rng, sub = jax.random.split(state.rng)
     gres = ground.extract_ground(sub, xyz, scan.valid.reshape(-1), cfg.ground)
 
-    # --- scan-to-map (C14); corner features plug in from the geometric
-    # pipeline — empty until C11 provides them
-    nc = 8
+    # --- scan-to-map (C14); corners = less-sharp cloud (the reference feeds
+    # its corner ikd-tree with the less-sharp features, `:478-479`)
     map_state, map_out = mapping.mapping_step(
         state.mapping,
         xyz, gres.ground_mask,
-        jnp.zeros((nc, 3)), jnp.zeros((nc,), bool),
+        fc.less_sharp, fc.less_sharp_mask,
         merged, cfg,
     )
 
     new_state = SlamState(
-        odo=odo_state, mapping=map_state, merged_pose=merged, rng=rng
+        odo=odo_state, geo=geo_state, mapping=map_state,
+        merged_pose=merged, rng=rng,
     )
     out = SlamOutput(
         pose=map_out.pose,

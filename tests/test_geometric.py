@@ -1,0 +1,93 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intensity_slam_tpu import config
+from intensity_slam_tpu.io import synthetic
+from intensity_slam_tpu.ops import curvature, projection
+from intensity_slam_tpu.pipeline import geometric, odometry, slam
+from intensity_slam_tpu.utils import se3
+
+CFG = config.SlamConfig()
+
+
+def _scan_at(pose, world=None):
+    world = world or synthetic.corridor_world()
+    xyz, inten = synthetic.render_scan(pose, world, CFG.sensor)
+    return projection.project_organized(xyz, inten, CFG.sensor), xyz
+
+
+def test_curvature_flags_edges():
+    """Box edges have high curvature; flat ground/walls low."""
+    pose = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([2.0, 0.0, 0.8]))
+    scan, _ = _scan_at(pose)
+    curv, wvalid = curvature.compute_curvature(scan)
+    fc = curvature.extract_features(scan, CFG.sensor, CFG.geometric)
+    assert int(fc.sharp_mask.sum()) > 20
+    assert int(fc.flat_mask.sum()) > 50
+    assert int(fc.less_flat_mask.sum()) > 200
+    # flat points really are on smooth surfaces: their curvature is below
+    # threshold by construction; check they lie near ground or walls
+    flat = np.asarray(fc.flat[fc.flat_mask])
+    on_ground = np.abs(flat[:, 2] + 0.8) < 0.1
+    on_wall = np.abs(np.abs(flat[:, 1] + 0.0) - 2.0) < 0.6  # walls at y=+-2
+    frac = (on_ground | on_wall).mean()
+    assert frac > 0.6, f"only {frac} of flat points on smooth surfaces"
+
+
+def test_geometric_odometry_recovers_motion():
+    world = synthetic.corridor_world()
+    p0 = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([2.0, 0.0, 0.8]))
+    delta_gt = se3.se3_exp(jnp.array([0.0, 0.0, 0.015, 0.3, 0.01, 0.0]))
+    p1 = se3.compose(p0, delta_gt)
+    s0, _ = _scan_at(p0, world)
+    s1, _ = _scan_at(p1, world)
+    fc0 = curvature.extract_features(s0, CFG.sensor, CFG.geometric)
+    fc1 = curvature.extract_features(s1, CFG.sensor, CFG.geometric)
+    state = geometric.init_state(
+        CFG, fc0.less_sharp.shape[0], fc0.less_flat.shape[0])
+    state = geometric.update_state(state, fc0, se3.Pose.identity())
+    delta = geometric.geometric_delta(state, fc1, CFG)
+    err = se3.se3_log(se3.compose(se3.inverse(delta_gt), delta))
+    assert float(jnp.linalg.norm(err[:3])) < 0.02, np.asarray(err)
+    assert float(jnp.linalg.norm(err[3:])) < 0.08, np.asarray(err)
+
+
+def test_fallback_engages_on_textureless_world():
+    """Kill intensity texture -> odometry skips -> geometric fallback keeps
+    tracking (the full degeneracy chain, SURVEY §5 failure detection)."""
+    cfg = CFG
+    world = synthetic.corridor_world()
+    frames = 6
+    poses = synthetic.corridor_trajectory(frames, speed=0.3)
+    xyz, inten = synthetic.render_sequence(poses, world, cfg.sensor)
+    inten_flat = jnp.full_like(inten, 100.0)  # constant intensity
+    times = jnp.arange(frames, dtype=jnp.float32) * 0.1
+    outs = slam.run_sequence(xyz, inten_flat, times, cfg)
+    skips = np.asarray(outs.skip)
+    assert skips.all(), "flat intensity must skip every frame"
+    # geometric fallback must still recover forward motion
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = jax.vmap(
+        lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+    )(poses.q, poses.t)
+    end_err = float(jnp.linalg.norm(outs.pose.t[-1] - gt[-1]))
+    assert end_err < 0.25, f"fallback tracking err {end_err}"
+
+
+def test_full_slam_with_fallback_available():
+    """Normal textured sequence still works with the geometric stage wired."""
+    cfg = CFG
+    world = synthetic.corridor_world()
+    frames = 6
+    poses = synthetic.corridor_trajectory(frames, speed=0.35)
+    xyz, inten = synthetic.render_sequence(poses, world, cfg.sensor)
+    times = jnp.arange(frames, dtype=jnp.float32) * 0.1
+    outs = slam.run_sequence(xyz, inten, times, cfg)
+    assert not np.asarray(outs.skip)[1:].any()
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = jax.vmap(
+        lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+    )(poses.q, poses.t)
+    ate = float(odometry.ate_rmse(outs.pose.t, gt))
+    assert ate < 0.1, f"ATE {ate}"
