@@ -122,14 +122,15 @@ class LoopConfig:
     use_voxel: bool = True            # spot.yaml:31
     voxel_size: float = 0.25          # vf_scan_res, spot.yaml:32
     icp_fitness_score: float = 0.5    # spot.yaml:34
+    icp_min_inlier_frac: float = 0.3  # coverage gate (see ops.icp fitness note)
     icp_iters: int = 32               # PCL ICP 100 iters; batched fixed-iter here (intensity_feature_tracker.cpp:220-224)
     icp_max_corr: float = 100.0       # setMaxCorrespondenceDistance, :221
     min_loop_bow_threshold: float = 0.013  # spot.yaml:38
     min_loop_search_gap: int = 20     # spot.yaml:39
     skiped_frames: int = 10           # spot.yaml:40
     submap_window: int = 1            # loop keyframe ±1, intensity_feature_tracker.cpp:175
-    max_keyframes: int = 4096         # fixed-capacity keyframe store
-    keyframe_cloud_size: int = 8192   # subsampled points stored per keyframe
+    max_keyframes: int = 1024         # fixed-capacity keyframe store
+    keyframe_cloud_size: int = 2048   # subsampled points stored per keyframe
     # ScanContext (include/Scancontext.h:77-95)
     sc_num_ring: int = 20
     sc_num_sector: int = 60
@@ -144,10 +145,17 @@ class LoopConfig:
     min_time_gap: float = 40.0        # :77
     # iSAM2-replacement PGO solve
     pgo_gn_iters: int = 8
-    # noise models (intensity_feature_tracker.cpp:41-47): diag variances
+    # noise models, diag variances (rot, trans).  The reference uses
+    # (1e-6,1e-6,1e-6,1e-8,1e-8,1e-6) for prior AND odometry
+    # (`intensity_feature_tracker.cpp:41-47`) and per-axis variance =
+    # raw ICP fitness for loops (`:344-355`) — with those values a loop
+    # factor is ~10^6x weaker than the odometry chain and corrects almost
+    # nothing.  We keep the reference's fitness-scaled loop semantics but
+    # give the odometry chain its HONEST covariance (~0.005 rad / 0.02 m
+    # per keyframe) so loop closures actually remove drift.
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
-    odom_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
-    loop_noise_base: tuple = (1e-4, 1e-4, 1e-4, 1e-4, 1e-4, 1e-4)  # scaled by ICP fitness, :344-355
+    odom_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4)
+    loop_fitness_floor: float = 1e-4  # var per axis = max(fitness, floor)
 
 
 @dataclass(frozen=True)

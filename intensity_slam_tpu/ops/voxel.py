@@ -50,11 +50,15 @@ def voxel_downsample(
     cand = mask & (d <= best[slot]) & jnp.isfinite(d)
     order = jnp.where(cand, jnp.arange(N, dtype=jnp.int32), jnp.iinfo(jnp.int32).max)
     first = jnp.full((table_size,), jnp.iinfo(jnp.int32).max).at[slot].min(order)
-    winner = cand & (first[slot] == jnp.arange(N, dtype=jnp.int32))
 
-    # compact winners to the front (stable)
-    rank = jnp.cumsum(winner) - 1
-    out_idx = jnp.where(winner & (rank < capacity), rank, capacity)
-    out = jnp.zeros((capacity + 1, 3)).at[out_idx].set(pts)[:capacity]
-    out_mask = jnp.zeros((capacity + 1,), bool).at[out_idx].set(True)[:capacity]
+    # compact by TABLE-SLOT order, not point order: slots are hash-mixed, so
+    # when winners exceed `capacity` the kept subset is spatially unbiased.
+    # Point-order compaction would keep only the first image rows of a scan
+    # — a catastrophically biased subsample for ICP/loop clouds.
+    occupied = first < jnp.iinfo(jnp.int32).max
+    rank = jnp.cumsum(occupied) - 1
+    out_idx = jnp.where(occupied & (rank < capacity), rank, capacity)
+    src_idx = jnp.minimum(first, N - 1)
+    out = jnp.zeros((capacity + 1, 3)).at[out_idx].set(pts[src_idx])[:capacity]
+    out_mask = jnp.zeros((capacity + 1,), bool).at[out_idx].set(occupied)[:capacity]
     return out, out_mask

@@ -1,0 +1,176 @@
+"""Loop-closure back-end: keyframe store, detection, ICP verify, PGO.
+
+Replicates the reference's two back-end threads (CS-4/CS-5,
+`src/intensity_feature_tracker.cpp:195-595`) as one jitted per-keyframe
+step:
+
+- keyframe ingestion: the pose-graph node is added with the map-frame pose
+  (BetweenFactor chain from consecutive map odometry, `:465-510`); the
+  keyframe cloud (voxel-downsampled, fixed capacity) and its ScanContext
+  descriptor enter the device-resident store
+- loop detection: ScanContext ring-key retrieval + shift distance
+  (`SCManager::detectLoopClosureID`, C9). The reference's launched build
+  uses DBoW3 ORB bag-of-words instead (`loop_closure_handler.cpp:94-96`);
+  ScanContext is compiled in as the alternative strategy — here it is the
+  primary, since a BoW vocabulary is a CPU-side tree the TPU replaces with
+  dense descriptor similarity
+- verification: trimmed ICP of the current keyframe cloud (in map frame)
+  against the submap of the loop keyframe +/-1 (`:174-193,216-316`);
+  fitness gate at `icp_fitness_score` (`spot.yaml:34`)
+- on acceptance: loop BetweenFactor with fitness-scaled noise (`:344-363`)
+  and a full batched PGO solve — the `updatePoses` rewrite (`:110-145`)
+  falls out of the solve returning every node's new pose
+
+The step runs under `lax.cond` so frames without a detected loop skip the
+ICP + solve entirely.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..ops import icp, scancontext
+from ..ops.voxel import voxel_downsample
+from ..utils import se3
+from ..utils.se3 import Pose
+from . import posegraph
+
+
+class BackendState(NamedTuple):
+    graph: posegraph.PoseGraph
+    kf_cloud: jax.Array       # (K, P, 3) sensor-frame subsampled clouds
+    kf_cloud_mask: jax.Array  # (K, P)
+    kf_sc: jax.Array          # (K, R, S)
+    kf_ringkey: jax.Array     # (K, R)
+    kf_time: jax.Array        # (K,)
+    num_kf: jax.Array         # () int32
+
+
+class BackendOutput(NamedTuple):
+    loop_found: jax.Array     # () bool (accepted loop this keyframe)
+    loop_idx: jax.Array       # () int32
+    icp_fitness: jax.Array    # () f32
+    correction: Pose          # T_new o T_old^-1 of the current keyframe —
+    # apply to downstream odometry to follow the PGO frame
+    sc_found: jax.Array       # () bool — ScanContext candidate fired
+    sc_dist: jax.Array        # () f32 — best ScanContext distance
+    icp_inlier_frac: jax.Array  # () f32
+
+
+def init_state(cfg: SlamConfig) -> BackendState:
+    lc = cfg.loop
+    K, P = lc.max_keyframes, lc.keyframe_cloud_size
+    return BackendState(
+        graph=posegraph.empty(K, 256),
+        kf_cloud=jnp.zeros((K, P, 3), jnp.float32),
+        kf_cloud_mask=jnp.zeros((K, P), bool),
+        kf_sc=jnp.zeros((K, lc.sc_num_ring, lc.sc_num_sector), jnp.float32),
+        kf_ringkey=jnp.zeros((K, lc.sc_num_ring), jnp.float32),
+        kf_time=jnp.zeros((K,), jnp.float32),
+        num_kf=jnp.int32(0),
+    )
+
+
+def backend_step(
+    state: BackendState,
+    scan_xyz: jax.Array,      # (N, 3) sensor-frame scan of this keyframe
+    scan_mask: jax.Array,     # (N,)
+    map_pose: Pose,           # mapping-refined pose of this keyframe
+    timestamp: jax.Array,
+    cfg: SlamConfig,
+) -> tuple[BackendState, BackendOutput]:
+    lc = cfg.loop
+    k = state.num_kf
+
+    # --- ingest: node + cloud + descriptor
+    graph = posegraph.add_node(state.graph, map_pose)
+    cloud, cmask = voxel_downsample(
+        scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
+    )
+    sc = scancontext.make_scancontext(scan_xyz, scan_mask, lc)
+    rk = scancontext.ring_key(sc)
+    state = state._replace(
+        graph=graph,
+        kf_cloud=state.kf_cloud.at[k].set(cloud),
+        kf_cloud_mask=state.kf_cloud_mask.at[k].set(cmask),
+        kf_sc=state.kf_sc.at[k].set(sc),
+        kf_ringkey=state.kf_ringkey.at[k].set(rk),
+        kf_time=state.kf_time.at[k].set(timestamp),
+        num_kf=k + 1,
+    )
+
+    # --- detect (C9 path)
+    kf_valid = jnp.arange(lc.max_keyframes) < state.num_kf
+    loop_idx, yaw, sc_dist, found = scancontext.detect_loop(
+        sc, rk, state.kf_sc, state.kf_ringkey, kf_valid, k, lc
+    )
+
+    def verify_and_close(st: BackendState):
+        g = st.graph
+        T_cur = jax.tree.map(lambda a: a[k], g.poses)
+        T_loop = jax.tree.map(lambda a: a[loop_idx], g.poses)
+        # submap: loop keyframe +/- submap_window in map frame (`:174-193`)
+        P = lc.keyframe_cloud_size
+        win = jnp.arange(-lc.submap_window, lc.submap_window + 1)
+        idxs = jnp.clip(loop_idx + win, 0, jnp.maximum(st.num_kf - 1, 0))
+        tgt_parts, tgt_masks = [], []
+        for wi in range(win.shape[0]):
+            i = idxs[wi]
+            Ti = jax.tree.map(lambda a: a[i], g.poses)
+            tgt_parts.append(se3.transform_points(Ti, st.kf_cloud[i]))
+            tgt_masks.append(st.kf_cloud_mask[i])
+        tgt = jnp.concatenate(tgt_parts)
+        tgt_mask = jnp.concatenate(tgt_masks)
+        # source: current cloud in map frame via its (pre-correction) pose,
+        # ICP init = identity in the map frame (`:249`) — the odometry
+        # already encodes orientation, so the ScanContext yaw is NOT
+        # re-applied (it would double-count the turn); it only served
+        # candidate ranking
+        src_map = se3.transform_points(T_cur, st.kf_cloud[k])
+        res = icp.icp_align(
+            src_map, st.kf_cloud_mask[k], tgt, tgt_mask, Pose.identity(),
+            iters=lc.icp_iters, max_corr_dist=lc.icp_max_corr,
+        )
+        # accept on fitness + coverage; NOT on the step-norm convergence
+        # flag — correspondence trimming keeps the last update jittering at
+        # ~1e-3 on TPU floats, and PCL's hasConverged() is likewise true
+        # after any normally-terminated align()
+        accept = (
+            (res.fitness <= lc.icp_fitness_score)
+            & (res.inlier_frac >= lc.icp_min_inlier_frac)
+        )
+        # corrected current pose and the between measurement
+        # Z_{cur->loop} = T_cur_corr^-1 o T_loop (`:330-363`)
+        T_cur_corr = se3.compose(res.pose, T_cur)
+        rel = se3.compose(se3.inverse(T_cur_corr), T_loop)
+        g2 = posegraph.add_loop(g, k, loop_idx, rel, res.fitness, lc)
+        g2 = posegraph.optimize(
+            g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
+            odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
+        )
+        g_out = jax.tree.map(
+            lambda a, b: jnp.where(accept, a, b), g2, g
+        )
+        T_new = jax.tree.map(lambda a: a[k], g_out.poses)
+        corr = se3.compose(T_new, se3.inverse(T_cur))
+        return st._replace(graph=g_out), BackendOutput(
+            loop_found=accept, loop_idx=loop_idx,
+            icp_fitness=res.fitness, correction=corr,
+            sc_found=found, sc_dist=sc_dist,
+            icp_inlier_frac=res.inlier_frac,
+        )
+
+    def no_loop(st: BackendState):
+        return st, BackendOutput(
+            loop_found=jnp.asarray(False), loop_idx=jnp.int32(-1),
+            icp_fitness=jnp.asarray(jnp.inf),
+            correction=Pose.identity(),
+            sc_found=found, sc_dist=sc_dist,
+            icp_inlier_frac=jnp.asarray(0.0),
+        )
+
+    return jax.lax.cond(found, verify_and_close, no_loop, state)

@@ -1,0 +1,105 @@
+"""SlamSystem: host orchestration of the front-end and loop back-end.
+
+The reference runs the back-end as threads inside `ascanRegistration`
+(factor-graph thread at 100 Hz, loop thread at 10 Hz,
+`scanRegistration.cpp:734-735`) communicating through mutex-guarded deques.
+Here the host loop plays that role: the jitted front-end step runs every
+frame; the jitted back-end step runs on keyframes.  Device state stays
+resident; the host only moves O(1) scalars per frame (the is-keyframe flag
+and pose readbacks) — SURVEY §7's two-stream design.
+
+Trajectory export follows `updatePoses` semantics
+(`intensity_feature_tracker.cpp:110-145`): keyframe poses come from the
+optimized graph; intermediate frames are corrected rigidly with their
+preceding keyframe's correction.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..ops import projection
+from ..utils import se3
+from ..utils.se3 import Pose
+from . import loop as loop_mod
+from . import slam
+
+
+class SlamSystem:
+    def __init__(self, cfg: SlamConfig, seed: int = 0):
+        self.cfg = cfg
+        self.mask = projection.detection_mask(cfg.sensor)
+        self.state = slam.init_state(cfg, seed)
+        self.bstate = loop_mod.init_state(cfg)
+
+        self._front = jax.jit(
+            lambda st, x, i, t: slam.slam_step(st, x, i, t, self.mask, cfg)
+        )
+        self._backend = jax.jit(
+            lambda bst, x, m, q, tt, ts: loop_mod.backend_step(
+                bst, x, m, Pose(q, tt), ts, cfg)
+        )
+        # host-side logs
+        self.frame_poses: list[np.ndarray] = []   # map poses (q, t) per frame
+        self.frame_kf_id: list[int] = []          # preceding keyframe id
+        self.kf_map_pose: list[tuple[np.ndarray, np.ndarray]] = []
+        self.loops: list[tuple[int, int, float]] = []
+        self.num_skips = 0
+
+    def process(self, xyz, inten, timestamp) -> dict:
+        self.state, out = self._front(self.state, xyz, inten,
+                                      jnp.asarray(timestamp, jnp.float32))
+        is_kf = bool(out.is_keyframe)
+        info = {
+            "skip": bool(out.skip),
+            "is_keyframe": is_kf,
+            "num_good": int(out.num_good),
+        }
+        self.num_skips += info["skip"]
+        if is_kf:
+            scan_valid = jnp.linalg.norm(xyz, axis=-1) >= self.cfg.sensor.min_range
+            self.bstate, bout = self._backend(
+                self.bstate, xyz, scan_valid, out.pose.q, out.pose.t,
+                jnp.asarray(timestamp, jnp.float32),
+            )
+            self.kf_map_pose.append(
+                (np.asarray(out.pose.q), np.asarray(out.pose.t))
+            )
+            info["sc_found"] = bool(bout.sc_found)
+            info["sc_dist"] = float(bout.sc_dist)
+            info["icp_fitness"] = float(bout.icp_fitness)
+            info["icp_inlier_frac"] = float(bout.icp_inlier_frac)
+            if bool(bout.loop_found):
+                self.loops.append(
+                    (len(self.kf_map_pose) - 1, int(bout.loop_idx),
+                     float(bout.icp_fitness))
+                )
+                info["loop"] = self.loops[-1]
+        self.frame_poses.append(
+            (np.asarray(out.pose.q), np.asarray(out.pose.t))
+        )
+        self.frame_kf_id.append(len(self.kf_map_pose) - 1)
+        return info
+
+    def trajectory(self) -> np.ndarray:
+        """(T, 3) PGO-corrected positions (updatePoses semantics)."""
+        n_kf = len(self.kf_map_pose)
+        if n_kf == 0:
+            return np.stack([t for _, t in self.frame_poses])
+        g = self.bstate.graph
+        opt_q = np.asarray(g.poses.q[:n_kf])
+        opt_t = np.asarray(g.poses.t[:n_kf])
+        out = []
+        for (fq, ft), kf in zip(self.frame_poses, self.frame_kf_id):
+            kf = max(kf, 0)
+            # correction of the governing keyframe: T_opt o T_map^-1
+            mq, mt = self.kf_map_pose[kf]
+            T_opt = Pose(jnp.asarray(opt_q[kf]), jnp.asarray(opt_t[kf]))
+            T_map = Pose(jnp.asarray(mq), jnp.asarray(mt))
+            corr = se3.compose(T_opt, se3.inverse(T_map))
+            p = se3.compose(corr, Pose(jnp.asarray(fq), jnp.asarray(ft)))
+            out.append(np.asarray(p.t))
+        return np.stack(out)

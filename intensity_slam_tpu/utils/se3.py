@@ -131,13 +131,17 @@ def so3_exp(phi: jax.Array) -> jax.Array:
 
 
 def so3_log(q: jax.Array) -> jax.Array:
-    """Quaternion [..., 4] -> rotation vector [..., 3], Taylor-safe near identity."""
+    """Quaternion [..., 4] -> rotation vector [..., 3], Taylor-safe near
+    identity AND autodiff-safe there: the vector norm is computed on a
+    sanitized input (double-where trick) so reverse-mode gradients at the
+    identity don't hit d(sqrt)/dx = inf via the 0 * NaN trap."""
     q = q * jnp.where(q[..., :1] < 0, -1.0, 1.0)  # shortest arc
     w = jnp.clip(q[..., :1], -1.0, 1.0)
-    vn = jnp.linalg.norm(q[..., 1:], axis=-1, keepdims=True)
+    sq = jnp.sum(q[..., 1:] * q[..., 1:], axis=-1, keepdims=True)
+    small = sq < 1e-12
+    vn = jnp.sqrt(jnp.where(small, 1.0, sq))  # garbage-but-finite when small
     theta = 2.0 * jnp.arctan2(vn, w)
-    small = vn < 1e-8
-    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / jnp.maximum(vn, _EPS))
+    scale = jnp.where(small, 2.0 / jnp.maximum(w, _EPS), theta / vn)
     return scale * q[..., 1:]
 
 

@@ -37,7 +37,10 @@ def main() -> int:
     ap.add_argument("--ate-bound", type=float, default=0.6)
     ap.add_argument("--small", action="store_true", help="small test shapes")
     ap.add_argument("--npz", type=str, default=None)
-    ap.add_argument("--pipeline", choices=["slam", "odometry"], default="slam")
+    ap.add_argument("--pipeline", choices=["system", "slam", "odometry"],
+                    default="slam",
+                    help="system = full SLAM + loop closure + PGO (host-"
+                         "driven); slam/odometry = lax.scan replay")
     args = ap.parse_args()
 
     cfg = config.small_test_config() if args.small else config.SlamConfig()
@@ -61,23 +64,37 @@ def main() -> int:
             lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
         )(poses.q, poses.t)
 
-    runner = slam.run_sequence if args.pipeline == "slam" else odometry.run_sequence
-    t0 = time.perf_counter()
-    outs = jax.jit(lambda x, i, t: runner(x, i, t, cfg))(xyz, inten, times)
-    jax.block_until_ready(outs.pose.t)
-    dt = time.perf_counter() - t0
-
     T = xyz.shape[0]
-    skips = np.asarray(outs.skip).astype(int)
-    print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
-    print(f"skips: {skips.sum()} ({skips.tolist()[:20]}...)")
-    print(f"keyframes: {int(np.asarray(outs.is_keyframe).sum())}")
-    print(f"matches/frame (median): {int(np.median(np.asarray(outs.num_good)[1:]))}")
-    print(f"final pose t: {np.asarray(outs.pose.t[-1]).round(3).tolist()}")
+    if args.pipeline == "system":
+        from intensity_slam_tpu.pipeline.system import SlamSystem
+        sys_ = SlamSystem(cfg)
+        t0 = time.perf_counter()
+        for k in range(T):
+            sys_.process(xyz[k], inten[k], float(times[k]))
+        dt = time.perf_counter() - t0
+        traj = jnp.asarray(sys_.trajectory())
+        print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
+        print(f"skips: {sys_.num_skips}  keyframes: {len(sys_.kf_map_pose)}"
+              f"  loops: {sys_.loops}")
+        print(f"final pose t: {np.asarray(traj[-1]).round(3).tolist()}")
+        est_t = traj
+    else:
+        runner = slam.run_sequence if args.pipeline == "slam" else odometry.run_sequence
+        t0 = time.perf_counter()
+        outs = jax.jit(lambda x, i, t: runner(x, i, t, cfg))(xyz, inten, times)
+        jax.block_until_ready(outs.pose.t)
+        dt = time.perf_counter() - t0
+        skips = np.asarray(outs.skip).astype(int)
+        print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
+        print(f"skips: {skips.sum()} ({skips.tolist()[:20]}...)")
+        print(f"keyframes: {int(np.asarray(outs.is_keyframe).sum())}")
+        print(f"matches/frame (median): {int(np.median(np.asarray(outs.num_good)[1:]))}")
+        print(f"final pose t: {np.asarray(outs.pose.t[-1]).round(3).tolist()}")
+        est_t = outs.pose.t
 
     if gt_t is not None:
-        ate = float(odometry.ate_rmse(outs.pose.t, gt_t))
-        end = float(jnp.linalg.norm(outs.pose.t[-1] - gt_t[-1]))
+        ate = float(odometry.ate_rmse(est_t, gt_t))
+        end = float(jnp.linalg.norm(est_t[-1] - gt_t[-1]))
         print(f"ATE RMSE: {ate:.4f} m   end error: {end:.4f} m")
         if args.check_ate and ate > args.ate_bound:
             print(f"FAIL: ATE {ate:.4f} > bound {args.ate_bound}")
