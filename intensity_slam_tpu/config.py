@@ -125,7 +125,11 @@ class LoopConfig:
     icp_min_inlier_frac: float = 0.3  # coverage gate (see ops.icp fitness note)
     icp_iters: int = 32               # PCL ICP 100 iters; batched fixed-iter here (intensity_feature_tracker.cpp:220-224)
     icp_max_corr: float = 100.0       # setMaxCorrespondenceDistance, :221
-    min_loop_bow_threshold: float = 0.013  # spot.yaml:38
+    min_loop_bow_threshold: float = 0.013  # spot.yaml:38 (DBoW raw-score scale)
+    bow_score_threshold: float = 0.82 # accept gate for OUR random-codebook
+    # L1 signatures (different scale than DBoW raw scores; calibrated on
+    # synthetic sequences — like the reference's 0.013, it proposes
+    # aggressively and relies on ICP verification to reject)
     min_loop_search_gap: int = 20     # spot.yaml:39
     skiped_frames: int = 10           # spot.yaml:40
     submap_window: int = 1            # loop keyframe ±1, intensity_feature_tracker.cpp:175

@@ -197,28 +197,58 @@ def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
+# dense orientation-moment maps: m10 = sum_patch I*dx, m01 = sum_patch I*dy
+# over a RECTANGULAR (2*PY+1) x (2*PX+1) patch, so both are separable into
+# two 1-D convolutions (a dense 13x31 2-D conv takes minutes to compile on
+# the TPU backend; the separable pair compiles like the box blur).  The
+# per-keypoint gather version costs millions of scattered reads.
+
+
+def _conv_sep_wrap(img: jax.Array, kcol: jax.Array, krow: jax.Array) -> jax.Array:
+    """Separable correlation: kcol (2*PY+1,) over rows (edge pad), then
+    krow (2*PX+1,) over cols (wrap pad — azimuth)."""
+    ph, pw = kcol.shape[0] // 2, krow.shape[0] // 2
+    x = jnp.pad(img, ((ph, ph), (0, 0)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (pw, pw)), mode="wrap")
+    y = jax.lax.conv(x[None, None], kcol.reshape(1, 1, -1, 1), (1, 1), "VALID")
+    y = jax.lax.conv(y, krow.reshape(1, 1, 1, -1), (1, 1), "VALID")
+    return y[0, 0]
+
+
+_DX_ROW = jnp.arange(-_PATCH_X, _PATCH_X + 1, dtype=jnp.float32)
+_DY_COL = jnp.arange(-_PATCH_Y, _PATCH_Y + 1, dtype=jnp.float32)
+_ONES_ROW = jnp.ones(2 * _PATCH_X + 1, jnp.float32)
+_ONES_COL = jnp.ones(2 * _PATCH_Y + 1, jnp.float32)
+
+
 @jax.jit
 def describe(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Oriented BRIEF-256 for K keypoints: returns (desc (K,8) uint32,
-    angle (K,))."""
+    angle (K,)).
+
+    Orientation moments are dense convolutions (one gather per keypoint);
+    descriptor sampling rounds the rotated offsets to integer pixels on the
+    blurred image (OpenCV ORB does the same) — one flat gather per sample
+    instead of four bilinear reads.
+    """
+    H, W = img.shape
     blurred = _box_blur(img, 5)
     u = uv[:, 0].astype(jnp.float32)  # col
     v = uv[:, 1].astype(jnp.float32)  # row
 
-    # orientation: intensity centroid over the circular patch
-    ox = _ORI_OFF_J[:, 0][None, :]  # (1, P)
-    oy = _ORI_OFF_J[:, 1][None, :]
-    patch = _bilinear(blurred, u[:, None] + ox, v[:, None] + oy) * _ORI_MASK_J[None, :]
-    m10 = jnp.sum(patch * ox, axis=1)
-    m01 = jnp.sum(patch * oy, axis=1)
-    angle = jnp.arctan2(m01, m10)
+    m10 = _conv_sep_wrap(blurred, _ONES_COL, _DX_ROW)
+    m01 = _conv_sep_wrap(blurred, _DY_COL, _ONES_ROW)
+    angle = jnp.arctan2(m01[uv[:, 1], uv[:, 0]], m10[uv[:, 1], uv[:, 0]])
 
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
     px = _PATTERN[None, :, :, 0]  # (1, 256, 2)
     py = _PATTERN[None, :, :, 1]
     rx = ca[:, None, None] * px - sa[:, None, None] * py + u[:, None, None]
     ry = sa[:, None, None] * px + ca[:, None, None] * py + v[:, None, None]
-    samples = _bilinear(blurred, rx, ry)  # (K, 256, 2)
+    xi = jnp.round(rx).astype(jnp.int32) % W
+    yi = jnp.clip(jnp.round(ry).astype(jnp.int32), 0, H - 1)
+    flat = yi * W + xi                         # (K, 256, 2)
+    samples = blurred.reshape(-1)[flat]
     bits = (samples[:, :, 0] < samples[:, :, 1]).astype(jnp.uint32)  # (K, 256)
     word = jnp.arange(_PATTERN_BITS) // 32
     shift = jnp.arange(_PATTERN_BITS, dtype=jnp.uint32) % 32

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..ops import icp, scancontext
+from ..ops import bow, icp, scancontext
 from ..ops.voxel import voxel_downsample
 from ..utils import se3
 from ..utils.se3 import Pose
@@ -46,6 +46,7 @@ class BackendState(NamedTuple):
     kf_cloud_mask: jax.Array  # (K, P)
     kf_sc: jax.Array          # (K, R, S)
     kf_ringkey: jax.Array     # (K, R)
+    kf_sig: jax.Array         # (K, V) bag-of-binary-words signatures (C8)
     kf_time: jax.Array        # (K,)
     num_kf: jax.Array         # () int32
 
@@ -70,6 +71,7 @@ def init_state(cfg: SlamConfig) -> BackendState:
         kf_cloud_mask=jnp.zeros((K, P), bool),
         kf_sc=jnp.zeros((K, lc.sc_num_ring, lc.sc_num_sector), jnp.float32),
         kf_ringkey=jnp.zeros((K, lc.sc_num_ring), jnp.float32),
+        kf_sig=jnp.zeros((K, bow.VOCAB_SIZE), jnp.float32),
         kf_time=jnp.zeros((K,), jnp.float32),
         num_kf=jnp.int32(0),
     )
@@ -79,6 +81,8 @@ def backend_step(
     state: BackendState,
     scan_xyz: jax.Array,      # (N, 3) sensor-frame scan of this keyframe
     scan_mask: jax.Array,     # (N,)
+    desc: jax.Array,          # (Kf, 8) uint32 keyframe feature descriptors
+    desc_valid: jax.Array,    # (Kf,)
     map_pose: Pose,           # mapping-refined pose of this keyframe
     timestamp: jax.Array,
     cfg: SlamConfig,
@@ -86,28 +90,36 @@ def backend_step(
     lc = cfg.loop
     k = state.num_kf
 
-    # --- ingest: node + cloud + descriptor
+    # --- ingest: node + cloud + descriptors
     graph = posegraph.add_node(state.graph, map_pose)
     cloud, cmask = voxel_downsample(
         scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
     )
     sc = scancontext.make_scancontext(scan_xyz, scan_mask, lc)
     rk = scancontext.ring_key(sc)
+    sig = bow.signature(desc, desc_valid)
     state = state._replace(
         graph=graph,
         kf_cloud=state.kf_cloud.at[k].set(cloud),
         kf_cloud_mask=state.kf_cloud_mask.at[k].set(cmask),
         kf_sc=state.kf_sc.at[k].set(sc),
         kf_ringkey=state.kf_ringkey.at[k].set(rk),
+        kf_sig=state.kf_sig.at[k].set(sig),
         kf_time=state.kf_time.at[k].set(timestamp),
         num_kf=k + 1,
     )
 
-    # --- detect (C9 path)
+    # --- detect: ScanContext (C9) primary + bag-of-words (C8) proposal;
+    # either channel's candidate goes to ICP verification
     kf_valid = jnp.arange(lc.max_keyframes) < state.num_kf
-    loop_idx, yaw, sc_dist, found = scancontext.detect_loop(
+    sc_idx, yaw, sc_dist, sc_found = scancontext.detect_loop(
         sc, rk, state.kf_sc, state.kf_ringkey, kf_valid, k, lc
     )
+    bow_idx, bow_score, bow_found = bow.detect_loop(
+        sig, state.kf_sig, kf_valid, k, lc
+    )
+    loop_idx = jnp.where(sc_found, sc_idx, bow_idx)
+    found = sc_found | bow_found
 
     def verify_and_close(st: BackendState):
         g = st.graph

@@ -153,12 +153,17 @@ def mapping_step(
         lambda new, old: jnp.where(do_solve, new, old), T_mo, state.T_map_odom
     )
 
-    # --- map insert: world-transformed ground + corner points (`:467-479`)
-    g_world = se3.transform_points(pose, ground_pts)
-    ground_map = grid_hash.insert(state.ground_map, g_world, ground_mask,
+    # --- map insert: world-transformed ground + corner points (`:467-479`).
+    # The reference inserts the voxel-DOWNSAMPLED clouds; inserting the raw
+    # 65k scan would also cost 16x more scatter traffic per frame.
+    g_world = se3.transform_points(pose, q_pts)
+    ground_map = grid_hash.insert(state.ground_map, g_world, q_mask,
                                   ground_cell)
-    c_world = se3.transform_points(pose, corner_pts)
-    corner_map = grid_hash.insert(state.corner_map, c_world, corner_mask,
+    c_pts, c_mask = voxel_downsample(
+        corner_pts, corner_mask, mc.corner_voxel, mc.max_query_points // 2
+    )
+    c_world = se3.transform_points(pose, c_pts)
+    corner_map = grid_hash.insert(state.corner_map, c_world, c_mask,
                                   corner_cell)
 
     new_state = MappingState(

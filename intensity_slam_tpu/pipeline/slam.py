@@ -49,6 +49,9 @@ class SlamOutput(NamedTuple):
     num_plane_residuals: jax.Array
     ground_ok: jax.Array
     map_points: jax.Array
+    desc: jax.Array             # (K, 8) uint32 frame descriptors (for the
+    # keyframe store / BoW loop channel); None inside lax.scan replays
+    desc_valid: jax.Array
 
 
 def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
@@ -123,6 +126,8 @@ def slam_step(
         num_plane_residuals=map_out.num_plane_residuals,
         ground_ok=gres.ok,
         map_points=map_out.map_points,
+        desc=odo_out.features.desc,
+        desc_valid=odo_out.features.valid & odo_out.features.xyz_valid,
     )
     return new_state, out
 
@@ -136,7 +141,10 @@ def run_sequence(
     def step(state, inp):
         x, i, t = inp
         state, out = slam_step(state, x, i, t, mask, cfg)
-        return state, out
+        # descriptors are per-frame bulk data — drop them from the stacked
+        # replay output to bound memory
+        return state, out._replace(desc=jnp.zeros(0, jnp.uint32),
+                                   desc_valid=jnp.zeros(0, bool))
 
     _, outs = jax.lax.scan(step, init_state(cfg), (xyz_seq, inten_seq, times))
     return outs

@@ -39,8 +39,8 @@ class SlamSystem:
             lambda st, x, i, t: slam.slam_step(st, x, i, t, self.mask, cfg)
         )
         self._backend = jax.jit(
-            lambda bst, x, m, q, tt, ts: loop_mod.backend_step(
-                bst, x, m, Pose(q, tt), ts, cfg)
+            lambda bst, x, m, d, dv, q, tt, ts: loop_mod.backend_step(
+                bst, x, m, d, dv, Pose(q, tt), ts, cfg)
         )
         # host-side logs
         self.frame_poses: list[np.ndarray] = []   # map poses (q, t) per frame
@@ -62,7 +62,8 @@ class SlamSystem:
         if is_kf:
             scan_valid = jnp.linalg.norm(xyz, axis=-1) >= self.cfg.sensor.min_range
             self.bstate, bout = self._backend(
-                self.bstate, xyz, scan_valid, out.pose.q, out.pose.t,
+                self.bstate, xyz, scan_valid, out.desc, out.desc_valid,
+                out.pose.q, out.pose.t,
                 jnp.asarray(timestamp, jnp.float32),
             )
             self.kf_map_pose.append(
@@ -83,6 +84,19 @@ class SlamSystem:
         )
         self.frame_kf_id.append(len(self.kf_map_pose) - 1)
         return info
+
+    def save(self, prefix: str) -> None:
+        """Checkpoint device state for crash-resume / multi-session mapping."""
+        from ..utils import checkpoint
+
+        checkpoint.save(prefix + ".front.npz", self.state)
+        checkpoint.save(prefix + ".backend.npz", self.bstate)
+
+    def load(self, prefix: str) -> None:
+        from ..utils import checkpoint
+
+        self.state = checkpoint.restore(prefix + ".front.npz", self.state)
+        self.bstate = checkpoint.restore(prefix + ".backend.npz", self.bstate)
 
     def trajectory(self) -> np.ndarray:
         """(T, 3) PGO-corrected positions (updatePoses semantics)."""
