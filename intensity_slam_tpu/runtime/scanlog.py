@@ -1,0 +1,179 @@
+"""High-level scan-log API: zero-copy mmap reads, prefetched streaming.
+
+The islog container replaces the reference's rosbag ingest
+(`README.md:152-169`): fixed-size frames of (timestamp, xyz, intensity
+[, gt pose]) for an organized H x W cloud.  Frames are exposed as numpy
+views over the C++ mmap / prefetch buffers — no copies on the Python side.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import Iterator, NamedTuple
+
+import numpy as np
+
+from . import native
+
+FLAG_GROUND_TRUTH = 1
+
+
+class Frame(NamedTuple):
+    index: int
+    timestamp: float
+    xyz: np.ndarray        # (H*W, 3) float32
+    intensity: np.ndarray  # (H*W,) float32
+    gt_q: np.ndarray | None  # (4,) float32 (w,x,y,z)
+    gt_t: np.ndarray | None  # (3,) float32
+
+
+def _parse(ptr, h: int, w: int, flags: int, index: int) -> Frame:
+    n = h * w
+    base = ctypes.addressof(ptr.contents)
+    ts = np.ctypeslib.as_array(
+        ctypes.cast(base, ctypes.POINTER(ctypes.c_double)), (1,))[0]
+    off = 8
+    xyz = np.ctypeslib.as_array(
+        ctypes.cast(base + off, native.f32p), (n, 3))
+    off += n * 12
+    inten = np.ctypeslib.as_array(
+        ctypes.cast(base + off, native.f32p), (n,))
+    off += n * 4
+    gt_q = gt_t = None
+    if flags & FLAG_GROUND_TRUTH:
+        gt_q = np.ctypeslib.as_array(
+            ctypes.cast(base + off, native.f32p), (4,))
+        gt_t = np.ctypeslib.as_array(
+            ctypes.cast(base + off + 16, native.f32p), (3,))
+    return Frame(index, float(ts), xyz, inten, gt_q, gt_t)
+
+
+class ScanLog:
+    """mmap-backed reader; frames are zero-copy numpy views."""
+
+    def __init__(self, path: str):
+        self._lib = native.lib()
+        self._h = self._lib.islog_open(path.encode())
+        if not self._h:
+            raise FileNotFoundError(f"cannot open scan log: {path}")
+        height = ctypes.c_uint32()
+        width = ctypes.c_uint32()
+        nframes = ctypes.c_uint64()
+        flags = ctypes.c_uint32()
+        self._lib.islog_info(self._h, ctypes.byref(height), ctypes.byref(width),
+                             ctypes.byref(nframes), ctypes.byref(flags))
+        self.height = height.value
+        self.width = width.value
+        self.num_frames = nframes.value
+        self.flags = flags.value
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def __getitem__(self, k: int) -> Frame:
+        if not 0 <= k < self.num_frames:
+            raise IndexError(k)
+        ptr = self._lib.islog_frame(self._h, k)
+        return _parse(ptr, self.height, self.width, self.flags, k)
+
+    def stream(self, start: int = 0, end: int | None = None,
+               depth: int = 4) -> Iterator[Frame]:
+        """Iterate frames with background prefetch (IO overlaps compute).
+
+        The yielded arrays alias a prefetch slot reused `depth` frames later
+        — consume (device_put) before advancing.
+        """
+        end = self.num_frames if end is None else min(end, self.num_frames)
+        with Prefetcher(self, start, end, depth) as pf:
+            yield from pf
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.islog_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class Prefetcher:
+    def __init__(self, log: ScanLog, start: int, end: int, depth: int = 4):
+        self._log = log
+        self._lib = native.lib()
+        self._h = self._lib.isprefetch_create(log._h, start, end, depth)
+        self._pending = False
+
+    def __iter__(self) -> Iterator[Frame]:
+        UINT64_MAX = (1 << 64) - 1
+        while True:
+            if self._pending:
+                self._lib.isprefetch_release(self._h)
+                self._pending = False
+            ptr = native.u8p()
+            k = self._lib.isprefetch_acquire(self._h, ctypes.byref(ptr))
+            if k == UINT64_MAX:
+                return
+            self._pending = True
+            yield _parse(ptr, self._log.height, self._log.width,
+                         self._log.flags, k)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.isprefetch_destroy(self._h)
+            self._h = None
+
+
+class ScanLogWriter:
+    def __init__(self, path: str, height: int, width: int,
+                 ground_truth: bool = False):
+        self._lib = native.lib()
+        flags = FLAG_GROUND_TRUTH if ground_truth else 0
+        self._h = self._lib.islog_writer_open(path.encode(), height, width,
+                                              flags)
+        if not self._h:
+            raise OSError(f"cannot create scan log: {path}")
+        self._gt = ground_truth
+        self._n = height * width
+
+    @staticmethod
+    def _fp(a: np.ndarray):
+        return a.ctypes.data_as(native.f32p)
+
+    def append(self, timestamp: float, xyz: np.ndarray, intensity: np.ndarray,
+               gt_q: np.ndarray | None = None,
+               gt_t: np.ndarray | None = None) -> None:
+        xyz = np.ascontiguousarray(xyz, np.float32).reshape(self._n, 3)
+        intensity = np.ascontiguousarray(intensity, np.float32).reshape(self._n)
+        if self._gt:
+            gt_q = np.ascontiguousarray(gt_q, np.float32)
+            gt_t = np.ascontiguousarray(gt_t, np.float32)
+            qp, tp = self._fp(gt_q), self._fp(gt_t)
+        else:
+            qp = tp = ctypes.cast(None, native.f32p)
+        rc = self._lib.islog_writer_append(
+            self._h, float(timestamp), self._fp(xyz), self._fp(intensity),
+            qp, tp)
+        if rc != 0:
+            raise OSError(f"scan log append failed: {rc}")
+
+    def close(self) -> None:
+        if self._h:
+            rc = self._lib.islog_writer_close(self._h)
+            self._h = None
+            if rc != 0:
+                raise OSError(f"scan log close failed: {rc}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
