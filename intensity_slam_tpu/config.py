@@ -59,6 +59,12 @@ class FeatureConfig:
     match_keep_frac_retry: float = 0.2  # 20% on the re-detect path, :684-689
     min_good_matches: int = 4         # good-frame gate, :693
     max_hamming: int = 64             # descriptor distance gate (BFMatcher crossCheck analogue)
+    oriented: bool = False            # steer BRIEF by the intensity centroid (ORB's rBRIEF).
+    # Default OFF: LiDAR intensity images are gravity-aligned and vehicle yaw
+    # appears as a pure column shift, which the unrotated pattern is exactly
+    # invariant to; skipping rotation keeps the descriptor computable densely
+    # (no gathers) and MORE distinctive.  Set True for handheld/rolling rigs
+    # (the reference's ORB behavior, intensity_feature_tracker.cpp:609).
 
 
 @dataclass(frozen=True)

@@ -26,8 +26,10 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import GeometricConfig, SensorConfig
+from . import conv2d
 from .projection import ScanImage
 from .voxel import voxel_downsample
 
@@ -47,26 +49,22 @@ class FeatureClouds(NamedTuple):
 
 
 def _row_conv_sum(x: jax.Array, half: int) -> jax.Array:
-    """Sum over a +/-half window along the last axis with wraparound."""
-    k = 2 * half + 1
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, half)], mode="wrap")
-    ker = jnp.ones((1, 1, 1, k), x.dtype)
-    y = jax.lax.conv(xp[None, None] if x.ndim == 2 else xp,
-                     ker, (1, 1), "VALID")
-    return y[0, 0] if x.ndim == 2 else y
+    """Sum over a +/-half window along the last axis with wraparound —
+    a circulant banded matmul on the MXU (ops.conv2d)."""
+    return conv2d.filter_cols(x, np.ones(2 * half + 1, np.float32), "wrap")
 
 
 def compute_curvature(scan: ScanImage, half: int = 5):
     """Returns (curvature (H, W), window_valid (H, W))."""
-    H, W, _ = scan.xyz.shape
-    sums = jnp.stack(
-        [_row_conv_sum(scan.xyz[:, :, c], half) for c in range(3)], axis=-1
+    # one batched pass over 4 channels: x, y, z, validity count
+    chans = jnp.concatenate(
+        [jnp.moveaxis(scan.xyz, -1, 0), scan.valid[None].astype(jnp.float32)]
     )
-    diff = sums - (2 * half + 1) * scan.xyz
-    curv = jnp.sum(diff * diff, axis=-1)
+    sums = _row_conv_sum(chans, half)
+    diff = sums[:3] - (2 * half + 1) * jnp.moveaxis(scan.xyz, -1, 0)
+    curv = jnp.sum(diff * diff, axis=0)
     # a window is only meaningful if every contributing point is valid
-    vcount = _row_conv_sum(scan.valid.astype(jnp.float32), half)
-    window_valid = scan.valid & (vcount >= (2 * half + 1) - 0.5)
+    window_valid = scan.valid & (sums[3] >= (2 * half + 1) - 0.5)
     return curv, window_valid
 
 

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FeatureConfig
+from . import conv2d
 from .projection import ScanImage
 
 # ---------------------------------------------------------------------------
@@ -94,33 +95,17 @@ class Matches(NamedTuple):
 
 
 def _box_blur(img: jax.Array, k: int = 5) -> jax.Array:
-    """Separable box filter (BRIEF's standard smoothing): edge-pad rows,
-    wrap-pad columns (azimuth wraps), two 1-D convs XLA fuses."""
-    pad = k // 2
-    x = jnp.pad(img, ((pad, pad), (0, 0)), mode="edge")
-    x = jnp.pad(x, ((0, 0), (pad, pad)), mode="wrap")
-    kv = jnp.ones((1, 1, k, 1), img.dtype) / k
-    kh = jnp.ones((1, 1, 1, k), img.dtype) / k
-    y = jax.lax.conv(x[None, None], kv, (1, 1), "VALID")
-    y = jax.lax.conv(y, kh, (1, 1), "VALID")
-    return y[0, 0]
-
-
-def _sobel(img: jax.Array) -> tuple[jax.Array, jax.Array]:
-    kx = jnp.array([[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]], img.dtype) / 8.0
-    ky = kx.T
-    x = jnp.pad(img, 1, mode="edge")[None, None]
-    gx = jax.lax.conv(x, kx[None, None], (1, 1), "VALID")[0, 0]
-    gy = jax.lax.conv(x, ky[None, None], (1, 1), "VALID")[0, 0]
-    return gx, gy
+    """Separable box filter (BRIEF's standard smoothing): edge rows, wrapped
+    columns — a banded matmul on the MXU (see ops.conv2d)."""
+    return conv2d.box_filter(img, k)
 
 
 def corner_response(img: jax.Array, window: int = 5) -> jax.Array:
     """Shi-Tomasi min-eigenvalue response of the structure tensor."""
-    gx, gy = _sobel(img)
-    a = _box_blur(gx * gx, window)
-    b = _box_blur(gx * gy, window)
-    c = _box_blur(gy * gy, window)
+    gx, gy = conv2d.sobel(img)
+    # blur the 3 structure-tensor channels in one batched matmul pass
+    a, b, c = conv2d.box_filter(
+        jnp.stack([gx * gx, gx * gy, gy * gy]), window)
     tr2 = (a + c) * 0.5
     det = jnp.sqrt(jnp.maximum(((a - c) * 0.5) ** 2 + b * b, 0.0))
     return tr2 - det
@@ -198,27 +183,14 @@ def _bilinear(img: jax.Array, x: jax.Array, y: jax.Array) -> jax.Array:
 
 
 # dense orientation-moment maps: m10 = sum_patch I*dx, m01 = sum_patch I*dy
-# over a RECTANGULAR (2*PY+1) x (2*PX+1) patch, so both are separable into
-# two 1-D convolutions (a dense 13x31 2-D conv takes minutes to compile on
-# the TPU backend; the separable pair compiles like the box blur).  The
-# per-keypoint gather version costs millions of scattered reads.
+# over a RECTANGULAR (2*PY+1) x (2*PX+1) patch — separable pairs of banded
+# matmuls (ops.conv2d).  The per-keypoint gather version costs millions of
+# scattered reads.
 
-
-def _conv_sep_wrap(img: jax.Array, kcol: jax.Array, krow: jax.Array) -> jax.Array:
-    """Separable correlation: kcol (2*PY+1,) over rows (edge pad), then
-    krow (2*PX+1,) over cols (wrap pad — azimuth)."""
-    ph, pw = kcol.shape[0] // 2, krow.shape[0] // 2
-    x = jnp.pad(img, ((ph, ph), (0, 0)), mode="edge")
-    x = jnp.pad(x, ((0, 0), (pw, pw)), mode="wrap")
-    y = jax.lax.conv(x[None, None], kcol.reshape(1, 1, -1, 1), (1, 1), "VALID")
-    y = jax.lax.conv(y, krow.reshape(1, 1, 1, -1), (1, 1), "VALID")
-    return y[0, 0]
-
-
-_DX_ROW = jnp.arange(-_PATCH_X, _PATCH_X + 1, dtype=jnp.float32)
-_DY_COL = jnp.arange(-_PATCH_Y, _PATCH_Y + 1, dtype=jnp.float32)
-_ONES_ROW = jnp.ones(2 * _PATCH_X + 1, jnp.float32)
-_ONES_COL = jnp.ones(2 * _PATCH_Y + 1, jnp.float32)
+_DX_ROW = np.arange(-_PATCH_X, _PATCH_X + 1, dtype=np.float32)
+_DY_COL = np.arange(-_PATCH_Y, _PATCH_Y + 1, dtype=np.float32)
+_ONES_ROW = np.ones(2 * _PATCH_X + 1, np.float32)
+_ONES_COL = np.ones(2 * _PATCH_Y + 1, np.float32)
 
 
 @jax.jit
@@ -236,8 +208,8 @@ def describe(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     u = uv[:, 0].astype(jnp.float32)  # col
     v = uv[:, 1].astype(jnp.float32)  # row
 
-    m10 = _conv_sep_wrap(blurred, _ONES_COL, _DX_ROW)
-    m01 = _conv_sep_wrap(blurred, _DY_COL, _ONES_ROW)
+    m10 = conv2d.sep_filter(blurred, _ONES_COL, _DX_ROW)
+    m01 = conv2d.sep_filter(blurred, _DY_COL, _ONES_ROW)
     angle = jnp.arctan2(m01[uv[:, 1], uv[:, 0]], m10[uv[:, 1], uv[:, 0]])
 
     ca, sa = jnp.cos(angle), jnp.sin(angle)  # (K,)
@@ -250,12 +222,42 @@ def describe(img: jax.Array, uv: jax.Array) -> tuple[jax.Array, jax.Array]:
     flat = yi * W + xi                         # (K, 256, 2)
     samples = blurred.reshape(-1)[flat]
     bits = (samples[:, :, 0] < samples[:, :, 1]).astype(jnp.uint32)  # (K, 256)
-    word = jnp.arange(_PATTERN_BITS) // 32
-    shift = jnp.arange(_PATTERN_BITS, dtype=jnp.uint32) % 32
-    packed = jax.vmap(
-        lambda b: jnp.zeros(8, jnp.uint32).at[word].add((b << shift).astype(jnp.uint32))
-    )(bits)
+    # bit i of word w is sample 32*w+i: a reshape + weighted sum, no scatter
+    Kk = bits.shape[0]
+    shifts = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    packed = jnp.sum(bits.reshape(Kk, 8, 32) * shifts[None, None, :],
+                     axis=-1, dtype=jnp.uint32)
     return packed, angle
+
+
+_PATTERN_INT = np.round(_make_pattern()).astype(np.int32)  # (256, 2, 2)
+
+
+@jax.jit
+def describe_dense(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Unrotated BRIEF-256 computed DENSELY: each bit plane is a shifted
+    comparison of the blurred image (static rolls the compiler fuses — zero
+    gathers), packed into 8 uint32 planes; keypoints then read their 8 words.
+
+    Exact for every keypoint at least _PATCH_Y rows from the top/bottom
+    border (rows don't wrap; the detector already enforces that margin) —
+    columns wrap like the azimuth axis does.  Returns (K, 8) uint32.
+    """
+    H, W = img.shape
+    blur = _box_blur(img, 5)
+    words = []
+    for w in range(8):
+        acc = jnp.zeros((H, W), jnp.uint32)
+        for j in range(32):
+            p = w * 32 + j
+            dx1, dy1 = int(_PATTERN_INT[p, 0, 0]), int(_PATTERN_INT[p, 0, 1])
+            dx2, dy2 = int(_PATTERN_INT[p, 1, 0]), int(_PATTERN_INT[p, 1, 1])
+            a = jnp.roll(blur, (-dy1, -dx1), (0, 1))
+            b = jnp.roll(blur, (-dy2, -dx2), (0, 1))
+            acc = acc | ((a < b).astype(jnp.uint32) << jnp.uint32(j))
+        words.append(acc)
+    dense = jnp.stack(words, axis=-1)            # (H, W, 8)
+    return dense[uv[:, 1], uv[:, 0]]
 
 
 def lift_subpixel(scan: ScanImage, uv_int: jax.Array, uv_sub: jax.Array):
@@ -294,7 +296,11 @@ def extract(scan: ScanImage, detect_mask: jax.Array, cfg: FeatureConfig,
     K = num_features or cfg.num_features
     uv, uv_sub, score, valid = detect(scan.intensity, detect_mask, K,
                                       cfg.nms_radius)
-    desc, angle = describe(scan.intensity, uv)
+    if cfg.oriented:
+        desc, angle = describe(scan.intensity, uv)
+    else:
+        desc = describe_dense(scan.intensity, uv)
+        angle = jnp.zeros(K, jnp.float32)
     xyz = lift_subpixel(scan, uv, uv_sub)
     # near-zero filter (`extractPointsAndFilterZeroValue`,
     # intensity_feature_tracker.cpp:1071-1099)

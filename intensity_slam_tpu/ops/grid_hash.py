@@ -47,16 +47,19 @@ EMPTY_KEY = jnp.int32(-1)
 
 class VoxelHashMap(NamedTuple):
     way_keys: jax.Array   # (S, W) int32 packed voxel coords; -1 = empty
-    pts: jax.Array        # (S, W, 8, 3) f32
-    valid: jax.Array      # (S, W, 8) bool
+    pts: jax.Array        # (S*W + 1, 8, 3) f32 cell-blocked point slots; the
+    #                       final cell is a write-off overflow slot so inserts
+    #                       never need concatenate/slice copies of the map,
+    #                       and kNN gathers whole (8, 3) slabs with no reshape
+    valid: jax.Array      # (S*W + 1, 8) bool
     num_points: jax.Array # () int32 (approximate: wins counted per insert)
 
 
 def empty(num_sets: int, ways: int = 4) -> VoxelHashMap:
     return VoxelHashMap(
         way_keys=jnp.full((num_sets, ways), EMPTY_KEY),
-        pts=jnp.zeros((num_sets, ways, 8, 3), jnp.float32),
-        valid=jnp.zeros((num_sets, ways, 8), bool),
+        pts=jnp.zeros((num_sets * ways + 1, 8, 3), jnp.float32),
+        valid=jnp.zeros((num_sets * ways + 1, 8), bool),
         num_points=jnp.int32(0),
     )
 
@@ -152,40 +155,38 @@ def insert(
     oct_idx = _octant(pts, c, cell_size)             # (N,)
     centers = _octant_center(c, oct_idx, cell_size)
     d_new = jnp.sum((pts - centers) ** 2, axis=-1)
-    flat = (sidx * W + way) * 8 + oct_idx            # (N,)
-    flat = jnp.where(placed, flat, S * W * 8)        # overflow slot
+    cellw = sidx * W + way                           # (N,) cell index
+    cellw = jnp.where(placed, cellw, S * W)          # overflow cell
+    flat = cellw * 8 + oct_idx                       # (N,) for conflict keys
 
     # current occupant distance (inf if empty)
-    occ_pts = m.pts.reshape(S * W * 8, 3)
-    occ_valid = m.valid.reshape(S * W * 8)
-    safe_flat = jnp.minimum(flat, S * W * 8 - 1)
-    occ_center = occ_pts[safe_flat]
+    safe_cell = jnp.minimum(cellw, S * W - 1)
+    occ_center = m.pts[safe_cell, oct_idx]
     # distance of current occupant to ITS octant center == distance to the
     # same center (same octant)
-    d_occ = jnp.where(
-        occ_valid[safe_flat],
-        jnp.sum((occ_center - centers) ** 2, axis=-1),
-        jnp.inf,
-    )
+    was_valid = m.valid[safe_cell, oct_idx]
+    d_occ = jnp.where(was_valid,
+                      jnp.sum((occ_center - centers) ** 2, axis=-1), jnp.inf)
     # candidate wins if nearer than occupant; among candidates, scatter-min
     d_eff = jnp.where(placed & (d_new < d_occ), d_new, jnp.inf)
-    best = jnp.full((S * W * 8 + 1,), jnp.inf).at[flat].min(d_eff)
-    is_winner = placed & jnp.isfinite(d_eff) & (d_eff <= best[safe_flat])
+    best = jnp.full(((S * W + 1) * 8,), jnp.inf).at[flat].min(d_eff)
+    is_winner = placed & jnp.isfinite(d_eff) & (d_eff <= best[flat])
     # break exact ties by point index
     order = jnp.where(is_winner, jnp.arange(N, dtype=jnp.int32), BIGI)
-    first = jnp.full((S * W * 8 + 1,), BIGI).at[flat].min(order)
-    is_winner = is_winner & (first[safe_flat] == jnp.arange(N, dtype=jnp.int32))
+    first = jnp.full(((S * W + 1) * 8,), BIGI).at[flat].min(order)
+    is_winner = is_winner & (first[flat] == jnp.arange(N, dtype=jnp.int32))
 
-    wflat = jnp.where(is_winner, flat, S * W * 8)
-    new_pts = jnp.concatenate([occ_pts, jnp.zeros((1, 3))]).at[wflat].set(pts)[:-1]
-    was_valid = occ_valid[safe_flat]
-    new_valid = jnp.concatenate([occ_valid, jnp.zeros((1,), bool)]).at[wflat].set(True)[:-1]
+    # losers write to the dedicated overflow cell — no concatenate/slice
+    # copies of the (multi-MB) map arrays
+    wcell = jnp.where(is_winner, cellw, S * W)
+    new_pts = m.pts.at[wcell, oct_idx].set(pts).at[S * W].set(0.0)
+    new_valid = m.valid.at[wcell, oct_idx].set(True).at[S * W].set(False)
     added = jnp.sum(is_winner & ~was_valid).astype(jnp.int32)
 
     return VoxelHashMap(
         way_keys=way_keys,
-        pts=new_pts.reshape(S, W, 8, 3),
-        valid=new_valid.reshape(S, W, 8),
+        pts=new_pts,
+        valid=new_valid,
         num_points=m.num_points + added,
     )
 
@@ -219,10 +220,10 @@ def knn(
     has = jnp.any(hit, axis=-1)
     wayi = jnp.argmax(hit, axis=-1)                  # (Q, 27)
     cell = sidx * W + wayi                           # (Q, 27)
-    cand_pts = m.pts.reshape(S * W, 8, 3)[cell]      # (Q, 27, 8, 3)
-    cand_ok = m.valid.reshape(S * W, 8)[cell] & has[..., None]
-    cand_pts = cand_pts.reshape(Q, 216, 3)
-    cand_ok = cand_ok.reshape(Q, 216)
+    # gather whole (8, 3) cell slabs (one gather of Q*27 slabs): per-slot
+    # row indexing would issue Q*27*8 scalar-row gathers and runs ~7x slower
+    cand_pts = m.pts[cell].reshape(Q, 216, 3)
+    cand_ok = (m.valid[cell] & has[..., None]).reshape(Q, 216)
     d = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
     d = jnp.where(cand_ok, d, jnp.inf)
     neg_d, idx = jax.lax.top_k(-d, k)                # smallest distances

@@ -21,44 +21,47 @@ import jax.numpy as jnp
 from .grid_hash import _mix, _pack, _voxel_coord
 
 
-@partial(jax.jit, static_argnames=("voxel", "capacity", "table_size"))
+@partial(jax.jit, static_argnames=("voxel", "capacity"))
 def voxel_downsample(
     pts: jax.Array,
     mask: jax.Array,
     voxel: float,
     capacity: int,
-    table_size: int = 1 << 16,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out (capacity, 3), out_mask (capacity,)).
 
-    Hash-table scatter-min: one winner per voxel (nearest voxel center, ties
-    by index).  Distinct voxels hashing to the same table slot keep only one
-    winner — with table_size >> #occupied voxels the loss is <1%, matching
-    the grid-hash map's collision policy.
+    Sort-based dedup: points are sorted by (mixed voxel key, distance to
+    voxel center) and the first point of each key run wins — exact (no hash
+    collisions) and fully vectorized.  A scatter-min table was ~5x slower on
+    TPU here: real scans concentrate tens of points per voxel and the
+    colliding scatter updates serialize.
+
+    Compaction keeps winners in MIXED-key order: the murmur finalizer is a
+    bijection on the key space, so dedup is exact while the kept subset under
+    capacity overflow is spatially unbiased (raw-key order would keep a
+    spatially contiguous — catastrophically biased — subset).
     """
     N = pts.shape[0]
     c = _voxel_coord(pts, voxel)
-    key = _pack(c)
-    # full avalanche mix before the modulus: a plain multiplicative hash mod
-    # 2^16 would discard every key bit above 16 (x/y live in bits 10-30)
-    slot = (_mix(key) % jnp.uint32(table_size)).astype(jnp.int32)
+    key = _mix(_pack(c)).astype(jnp.int32)  # bijective mix, any int32 value
     center = (c.astype(jnp.float32) + 0.5) * voxel
     d = jnp.sum((pts - center) ** 2, axis=-1)
-    d = jnp.where(mask, d, jnp.inf)
-
-    best = jnp.full((table_size,), jnp.inf).at[slot].min(d)
-    cand = mask & (d <= best[slot]) & jnp.isfinite(d)
-    order = jnp.where(cand, jnp.arange(N, dtype=jnp.int32), jnp.iinfo(jnp.int32).max)
-    first = jnp.full((table_size,), jnp.iinfo(jnp.int32).max).at[slot].min(order)
-
-    # compact by TABLE-SLOT order, not point order: slots are hash-mixed, so
-    # when winners exceed `capacity` the kept subset is spatially unbiased.
-    # Point-order compaction would keep only the first image rows of a scan
-    # — a catastrophically biased subsample for ICP/loop clouds.
-    occupied = first < jnp.iinfo(jnp.int32).max
-    rank = jnp.cumsum(occupied) - 1
-    out_idx = jnp.where(occupied & (rank < capacity), rank, capacity)
-    src_idx = jnp.minimum(first, N - 1)
-    out = jnp.zeros((capacity + 1, 3)).at[out_idx].set(pts[src_idx])[:capacity]
-    out_mask = jnp.zeros((capacity + 1,), bool).at[out_idx].set(occupied)[:capacity]
-    return out, out_mask
+    INVALID = jnp.int32(jnp.iinfo(jnp.int32).max)
+    key = jnp.where(mask, key, INVALID)
+    sk, _, si = jax.lax.sort(
+        (key, d, jnp.arange(N, dtype=jnp.int32)), num_keys=2
+    )
+    prev = jnp.concatenate([jnp.array([jnp.iinfo(jnp.int32).min], jnp.int32),
+                            sk[:-1]])
+    winner = (sk != prev) & (sk != INVALID)
+    # compaction by GATHER, not scatter: position of the r-th winner is the
+    # first index where cumsum(winner) == r+1 — a vectorized binary search.
+    # (A scatter compaction serializes: every non-winner collides on the
+    # overflow slot.)
+    cum = jnp.cumsum(winner.astype(jnp.int32))
+    src = jnp.searchsorted(cum, jnp.arange(1, capacity + 1, dtype=jnp.int32),
+                           side="left")
+    have = jnp.arange(capacity) < cum[-1]
+    src = jnp.minimum(src, N - 1)
+    out = jnp.where(have[:, None], pts[si[src]], 0.0)
+    return out, have
