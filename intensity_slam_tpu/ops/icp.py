@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from ..utils import se3
 from ..utils.se3 import Pose
+from . import pallas_nn
 
 
 class ICPResult(NamedTuple):
@@ -39,11 +40,10 @@ class ICPResult(NamedTuple):
 
 
 def _nn(src_w: jax.Array, src_mask, tgt: jax.Array, tgt_mask):
-    d = jnp.sum((src_w[:, None, :] - tgt[None, :, :]) ** 2, axis=-1)
-    d = jnp.where(tgt_mask[None, :], d, jnp.inf)
-    j = jnp.argmin(d, axis=1)
-    dj = jnp.take_along_axis(d, j[:, None], axis=1)[:, 0]
-    dj = jnp.where(src_mask, dj, jnp.inf)
+    # fused Pallas kernel: tiled distances + running argmin in VMEM — the
+    # (P, M) matrix never materializes (ops/pallas_nn.py)
+    j, dj = pallas_nn.nearest_neighbor(src_w, tgt, tgt_mask)
+    dj = jnp.where(src_mask & (dj < 1e29), dj, jnp.inf)
     return j, dj
 
 
