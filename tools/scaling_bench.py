@@ -13,12 +13,16 @@ import argparse
 import sys
 import time
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from intensity_slam_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
-
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 from intensity_slam_tpu.parallel import dist_ba
 from intensity_slam_tpu.utils import se3
@@ -52,6 +56,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     args = ap.parse_args()
 
+    if jax.devices()[0].platform == "cpu":
+        print("NOTE: virtual CPU mesh — all devices share the same physical "
+              "cores, so ms/solve validates correctness and sharding only; "
+              "scaling efficiency is only meaningful on real chips.")
     prob = make_problem(args.poses, args.landmarks, args.obs_per_pose)
     M = prob.obs_z.shape[0]
     results = {}
