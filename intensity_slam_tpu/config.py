@@ -106,7 +106,10 @@ class MappingConfig:
 
     ground_voxel: float = 0.8         # plane res 0.8, spot.launch:5 (mapping surf filter)
     corner_voxel: float = 0.4         # line res 0.4, spot.launch:4
-    knn: int = 5                      # 5-NN plane fit, mapOptimization.cpp:379
+    knn: int = 5
+    knn_neighborhood: int = 8         # 8 = 2x2x2 octant block (exact within
+    # cell_size/2 = ground_voxel, far beyond the 0.2 m plane gate); 27 = full
+    # 3x3x3 (exact within cell_size) at 3.4x the gather traffic                      # 5-NN plane fit, mapOptimization.cpp:379
     plane_valid_threshold: float = 0.2  # point-to-fit-plane validity, :406-414
     gn_iters: int = 10                # Ceres ≤10 iters, :437
     map_capacity: int = 1 << 20       # voxel-hash capacity (points)

@@ -196,34 +196,48 @@ _NEIGH = jnp.stack(
                  indexing="ij"),
     axis=-1,
 ).reshape(27, 3)
+_NEIGH8 = jnp.stack(
+    jnp.meshgrid(jnp.arange(2), jnp.arange(2), jnp.arange(2), indexing="ij"),
+    axis=-1,
+).reshape(8, 3)
 
 
-@partial(jax.jit, static_argnames=("cell_size", "k"))
+@partial(jax.jit, static_argnames=("cell_size", "k", "neighborhood"))
 def knn(
-    m: VoxelHashMap, queries: jax.Array, cell_size: float, k: int = 5
+    m: VoxelHashMap, queries: jax.Array, cell_size: float, k: int = 5,
+    neighborhood: int = 27,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """k nearest map points for each query (Q, 3).
 
-    Returns (pts (Q, k, 3), sq_dists (Q, k), valid (Q, k)).  Candidates come
-    from the 27-cell neighborhood — exact within cell_size, which covers the
-    reference's correspondence radii (5-NN plane fits gate at 0.2-1 m,
-    `mapOptimization.cpp:406-414`).
+    Returns (pts (Q, k, 3), sq_dists (Q, k), valid (Q, k)).
+
+    neighborhood=27: full 3x3x3 cell block — exact within cell_size.
+    neighborhood=8: the 2x2x2 cell block nearest the query — exact within
+    cell_size/2, with 3.4x less gather traffic (the dominant cost).  The
+    reference's correspondence gates are far tighter than either bound
+    (5-NN plane fits gate at 0.2 m, `mapOptimization.cpp:406-414`).
     """
     S, W = m.way_keys.shape
     Q = queries.shape[0]
-    c0 = _voxel_coord(queries, cell_size)            # (Q, 3)
-    cn = c0[:, None, :] + _NEIGH[None, :, :]         # (Q, 27, 3)
-    keys = _pack(cn)                                 # (Q, 27)
+    if neighborhood == 27:
+        c0 = _voxel_coord(queries, cell_size)        # (Q, 3)
+        cn = c0[:, None, :] + _NEIGH[None, :, :]     # (Q, 27, 3)
+    else:
+        assert neighborhood == 8, neighborhood
+        base = jnp.floor(queries / cell_size - 0.5).astype(jnp.int32)
+        cn = base[:, None, :] + _NEIGH8[None, :, :]  # (Q, 8, 3)
+    keys = _pack(cn)                                 # (Q, NB)
     sidx = _set_index(keys, S)                       # (Q, 27)
-    wk = m.way_keys[sidx]                            # (Q, 27, W)
-    hit = wk == keys[..., None]                      # (Q, 27, W)
+    NB = cn.shape[1]
+    wk = m.way_keys[sidx]                            # (Q, NB, W)
+    hit = wk == keys[..., None]                      # (Q, NB, W)
     has = jnp.any(hit, axis=-1)
-    wayi = jnp.argmax(hit, axis=-1)                  # (Q, 27)
-    cell = sidx * W + wayi                           # (Q, 27)
-    # gather whole (8, 3) cell slabs (one gather of Q*27 slabs): per-slot
-    # row indexing would issue Q*27*8 scalar-row gathers and runs ~7x slower
-    cand_pts = m.pts[cell].reshape(Q, 216, 3)
-    cand_ok = (m.valid[cell] & has[..., None]).reshape(Q, 216)
+    wayi = jnp.argmax(hit, axis=-1)                  # (Q, NB)
+    cell = sidx * W + wayi                           # (Q, NB)
+    # gather whole (8, 3) cell slabs (one gather of Q*NB slabs): per-slot
+    # row indexing would issue Q*NB*8 scalar-row gathers and runs ~7x slower
+    cand_pts = m.pts[cell].reshape(Q, NB * 8, 3)
+    cand_ok = (m.valid[cell] & has[..., None]).reshape(Q, NB * 8)
     d = jnp.sum((cand_pts - queries[:, None, :]) ** 2, axis=-1)
     d = jnp.where(cand_ok, d, jnp.inf)
     neg_d, idx = jax.lax.top_k(-d, k)                # smallest distances

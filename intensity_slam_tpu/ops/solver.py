@@ -118,8 +118,8 @@ def solve_pose(
         b = jnp.einsum("gdi,gd,g->i", J, r0, wt)
         return H, b
 
-    def step(carry, _):
-        pose, lam, cost = carry
+    def step(carry):
+        pose, lam, cost, _, k = carry
         H, b = linearize(pose)
         # damping: LM diag scaling PLUS an absolute Tikhonov floor.  The
         # floor matters when the problem has a gauge/null space (e.g. the
@@ -147,11 +147,22 @@ def solve_pose(
         else:
             pose, cost = cand, new_cost
         gnorm = jnp.linalg.norm(b)
-        return (pose, lam, cost), gnorm
+        return (pose, lam, cost, gnorm, k + 1)
 
     c0 = cost_of(pose0)
-    (pose, _, cost), gnorms = jax.lax.scan(
-        step, (pose0, jnp.asarray(lm_lambda0, c0.dtype), c0), None, length=iters
+    tol = grad_tol * jnp.maximum(1.0, c0)
+
+    def not_done(carry):
+        # gradient-tolerance early exit (Ceres' gradient_tolerance): running
+        # fixed iterations after convergence costs a full linearize each
+        _, _, _, gnorm, k = carry
+        return (k < iters) & (gnorm > tol)
+
+    pose, _, cost, gnorm, k = jax.lax.while_loop(
+        not_done,
+        step,
+        (pose0, jnp.asarray(lm_lambda0, c0.dtype), c0,
+         jnp.asarray(jnp.inf, c0.dtype), jnp.int32(0)),
     )
     H_final, _ = linearize(pose)
     min_eig = jnp.linalg.eigvalsh(H_final)[0]
@@ -159,8 +170,8 @@ def solve_pose(
         pose=pose,
         final_cost=cost,
         initial_cost=c0,
-        iterations=jnp.int32(iters),
-        converged=gnorms[-1] < grad_tol * jnp.maximum(1.0, c0),
+        iterations=k,
+        converged=gnorm < tol,
         min_hessian_eig=min_eig,
     )
 

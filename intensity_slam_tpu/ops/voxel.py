@@ -54,14 +54,16 @@ def voxel_downsample(
     prev = jnp.concatenate([jnp.array([jnp.iinfo(jnp.int32).min], jnp.int32),
                             sk[:-1]])
     winner = (sk != prev) & (sk != INVALID)
-    # compaction by GATHER, not scatter: position of the r-th winner is the
-    # first index where cumsum(winner) == r+1 — a vectorized binary search.
-    # (A scatter compaction serializes: every non-winner collides on the
-    # overflow slot.)
+    # compaction by CONFLICT-FREE scatter: the r-th winner writes slot r;
+    # every loser gets a unique slot in a discard region (capacity + its own
+    # position) so no two updates ever collide — colliding scatters
+    # serialize on TPU (naive "losers all write the overflow slot" cost
+    # ~0.8 ms; XLA's searchsorted lowers to a 17-step while loop, ~1 ms).
     cum = jnp.cumsum(winner.astype(jnp.int32))
-    src = jnp.searchsorted(cum, jnp.arange(1, capacity + 1, dtype=jnp.int32),
-                           side="left")
+    rank = cum - 1
+    pos = jnp.arange(N, dtype=jnp.int32)
+    out_idx = jnp.where(winner & (rank < capacity), rank, capacity + pos)
+    out = jnp.zeros((capacity + N, 3)).at[out_idx].set(pts[si])[:capacity]
     have = jnp.arange(capacity) < cum[-1]
-    src = jnp.minimum(src, N - 1)
-    out = jnp.where(have[:, None], pts[si[src]], 0.0)
+    out = jnp.where(have[:, None], out, 0.0)
     return out, have

@@ -131,7 +131,8 @@ def mapping_step(
     # --- correspondences at the prior pose: 5-NN in the ground map
     q_world = se3.transform_points(prior, q_pts)
     neigh, sq, nvalid = grid_hash.knn(
-        state.ground_map, q_world, ground_cell, k=mc.knn
+        state.ground_map, q_world, ground_cell, k=mc.knn,
+        neighborhood=mc.knn_neighborhood,
     )
     n, d, plane_ok = _fit_planes(neigh, nvalid, mc.plane_valid_threshold)
     w = (q_mask & plane_ok).astype(jnp.float32)
