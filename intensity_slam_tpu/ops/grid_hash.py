@@ -119,6 +119,10 @@ def insert(
     way_keys = m.way_keys
     way = jnp.full((N,), -1, jnp.int32)
     BIGI = jnp.int32(jnp.iinfo(jnp.int32).max)
+    # W claim rounds: round 1 claims, round 2 lets same-key losers match the
+    # winner's key, rounds 3..W resolve distinct new keys contending for the
+    # same set's remaining ways (a few per batch at our load factors).
+    # Fewer rounds would drop those points and break insert idempotency.
     for _ in range(W):
         # match existing ways
         wk = way_keys[sidx]                          # (N, W)

@@ -119,7 +119,7 @@ def solve_pose(
         return H, b
 
     def step(carry):
-        pose, lam, cost, _, k = carry
+        pose, lam, cost, _, _, k = carry
         H, b = linearize(pose)
         # damping: LM diag scaling PLUS an absolute Tikhonov floor.  The
         # floor matters when the problem has a gauge/null space (e.g. the
@@ -139,30 +139,39 @@ def solve_pose(
         delta = delta * jnp.minimum(1.0, 1.0 / jnp.maximum(dn, 1e-12))
         cand = se3.retract(pose, delta)
         new_cost = cost_of(cand)
+        prev_cost = cost
         if use_lm:
             accept = new_cost < cost
             pose = jax.tree.map(lambda a, b_: jnp.where(accept, b_, a), pose, cand)
             cost = jnp.where(accept, new_cost, cost)
             lam = jnp.where(accept, jnp.maximum(lam * 0.33, 1e-9), jnp.minimum(lam * 4.0, 1e6))
+            # relative decrease of the ACCEPTED step; a rejected step keeps
+            # rel at +inf so lambda growth continues instead of exiting
+            rel = jnp.where(accept, (prev_cost - new_cost)
+                            / jnp.maximum(prev_cost, 1e-12), jnp.inf)
         else:
             pose, cost = cand, new_cost
+            rel = (prev_cost - new_cost) / jnp.maximum(prev_cost, 1e-12)
         gnorm = jnp.linalg.norm(b)
-        return (pose, lam, cost, gnorm, k + 1)
+        return (pose, lam, cost, gnorm, rel, k + 1)
 
     c0 = cost_of(pose0)
     tol = grad_tol * jnp.maximum(1.0, c0)
+    FTOL = 1e-6  # Ceres' function_tolerance default
 
     def not_done(carry):
-        # gradient-tolerance early exit (Ceres' gradient_tolerance): running
+        # early exit on gradient tolerance OR tiny accepted relative cost
+        # decrease (Ceres' gradient_tolerance / function_tolerance): running
         # fixed iterations after convergence costs a full linearize each
-        _, _, _, gnorm, k = carry
-        return (k < iters) & (gnorm > tol)
+        _, _, _, gnorm, rel, k = carry
+        return (k < iters) & (gnorm > tol) & (jnp.abs(rel) > FTOL)
 
-    pose, _, cost, gnorm, k = jax.lax.while_loop(
+    pose, _, cost, gnorm, _, k = jax.lax.while_loop(
         not_done,
         step,
         (pose0, jnp.asarray(lm_lambda0, c0.dtype), c0,
-         jnp.asarray(jnp.inf, c0.dtype), jnp.int32(0)),
+         jnp.asarray(jnp.inf, c0.dtype), jnp.asarray(jnp.inf, c0.dtype),
+         jnp.int32(0)),
     )
     H_final, _ = linearize(pose)
     min_eig = jnp.linalg.eigvalsh(H_final)[0]
