@@ -115,7 +115,14 @@ class MappingConfig:
     map_capacity: int = 1 << 20       # voxel-hash capacity (points)
     cell_capacity: int = 8            # points per voxel cell
     cell_size: float = 0.4            # hash voxel edge
-    max_query_points: int = 4096      # padded per-frame ground points for NN
+    max_query_points: int = 1024      # padded per-frame ground points for NN
+    # (0.8 m-voxel-downsampled ground clouds run ~200 pts/frame on 64x1024
+    # corridor scans; 1024 leaves 5x headroom and quarters the kNN/plane-fit/
+    # GN cost versus a 4096 pad — overflow degrades to dropped residuals,
+    # never to wrong ones)
+    downsample_prefilter: int = 16384  # compact masked points to this many
+    # before the voxel-dedup sort (ground masks select ~7k of 65k points; the
+    # sort is the dominant cost and scales with its input length)
     # odometry-prediction anchor, sqrt-information per tangent axis
     # (roll, pitch, yaw, x, y, z): weak where the ground map observes
     # strongly (roll/pitch/z), strong where it observes nothing (x/y/yaw)

@@ -21,12 +21,30 @@ import jax.numpy as jnp
 from .grid_hash import _mix, _pack, _voxel_coord
 
 
-@partial(jax.jit, static_argnames=("voxel", "capacity"))
+def _compact(pts: jax.Array, mask: jax.Array, capacity: int):
+    """Pack masked points to the front of a (capacity, 3) buffer.
+
+    Conflict-free scatter (each input writes a unique slot), so it costs one
+    cumsum + one scatter — far cheaper than carrying the full padded cloud
+    through the dedup sort.  Overflow beyond `capacity` is dropped.
+    """
+    N = pts.shape[0]
+    cum = jnp.cumsum(mask.astype(jnp.int32))
+    rank = cum - 1
+    pos = jnp.arange(N, dtype=jnp.int32)
+    out_idx = jnp.where(mask & (rank < capacity), rank, capacity + pos)
+    out = jnp.zeros((capacity + N, 3)).at[out_idx].set(pts)[:capacity]
+    have = jnp.arange(capacity) < cum[-1]
+    return jnp.where(have[:, None], out, 0.0), have
+
+
+@partial(jax.jit, static_argnames=("voxel", "capacity", "prefilter"))
 def voxel_downsample(
     pts: jax.Array,
     mask: jax.Array,
     voxel: float,
     capacity: int,
+    prefilter: int | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Returns (out (capacity, 3), out_mask (capacity,)).
 
@@ -41,6 +59,10 @@ def voxel_downsample(
     capacity overflow is spatially unbiased (raw-key order would keep a
     spatially contiguous — catastrophically biased — subset).
     """
+    if prefilter is not None and prefilter < pts.shape[0]:
+        # sparse mask (e.g. ground bands select ~10% of a scan): compact
+        # first so the O(N log N) dedup sort runs on the short buffer
+        pts, mask = _compact(pts, mask, prefilter)
     N = pts.shape[0]
     c = _voxel_coord(pts, voxel)
     key = _mix(_pack(c)).astype(jnp.int32)  # bijective mix, any int32 value

@@ -125,7 +125,8 @@ def mapping_step(
 
     # --- downsample the scan's ground points (PCL voxel filter analogue)
     q_pts, q_mask = voxel_downsample(
-        ground_pts, ground_mask, mc.ground_voxel, mc.max_query_points
+        ground_pts, ground_mask, mc.ground_voxel, mc.max_query_points,
+        prefilter=mc.downsample_prefilter,
     )
 
     # --- correspondences at the prior pose: 5-NN in the ground map

@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Per-stage wall-clock profile of the full SLAM frame step on the real chip.
+
+Times each jitted stage in isolation (steady-state, post-compile) so perf
+work targets the real hotspot. Not part of the test suite.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from intensity_slam_tpu import config
+from intensity_slam_tpu.io import synthetic
+from intensity_slam_tpu.ops import curvature, ground, projection
+from intensity_slam_tpu.pipeline import geometric, mapping, odometry, slam
+from intensity_slam_tpu.utils import se3
+
+
+def timeit(name, fn, *args, n=30):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n * 1e3
+    print(f"{name:28s} {dt:8.3f} ms")
+    return out
+
+
+def main():
+    cfg = config.SlamConfig()
+    world = synthetic.corridor_world()
+    poses = synthetic.corridor_trajectory(8, speed=0.35, yaw_rate=0.005)
+    render = jax.jit(
+        lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world, cfg.sensor)
+    )
+    xyz, inten = render(poses.q, poses.t)
+    jax.block_until_ready(xyz)
+    mask = projection.detection_mask(cfg.sensor)
+
+    state = slam.init_state(cfg)
+    step = jax.jit(lambda s, x, i, t: slam.slam_step(s, x, i, t, mask, cfg))
+    # run a few frames to get a realistic state (map populated)
+    for k in range(8):
+        state, out = step(state, xyz[k], inten[k],
+                          jnp.float32(k * cfg.sensor.scan_period))
+    jax.block_until_ready(out.pose.t)
+
+    x0, i0 = xyz[-1], inten[-1]
+    t0 = jnp.float32(0.7)
+
+    timeit("FULL slam_step", step, state, x0, i0, t0)
+
+    proj = jax.jit(lambda x, i: projection.project_organized(x, i, cfg.sensor))
+    scan = timeit("projection", proj, x0, i0)
+
+    odo = jax.jit(lambda s, sc, t: odometry.odometry_step(s, sc, t, mask, cfg))
+    timeit("odometry_step", odo, state.odo, scan, t0)
+
+    curv = jax.jit(lambda sc: curvature.extract_features(sc, cfg.sensor,
+                                                         cfg.geometric))
+    fc = timeit("curvature features", curv, scan)
+
+    geod = jax.jit(lambda s, f: geometric.geometric_delta(s, f, cfg))
+    timeit("geometric_delta (solve)", geod, state.geo, fc)
+
+    grnd = jax.jit(lambda r, x, v: ground.extract_ground(r, x, v, cfg.ground))
+    gres = timeit("ground RANSAC", grnd, state.rng, x0,
+                  scan.valid.reshape(-1))
+
+    mapstep = jax.jit(lambda ms, x, gm, c, cm, p: mapping.mapping_step(
+        ms, x, gm, c, cm, p, cfg))
+    timeit("mapping_step", mapstep, state.mapping, x0, gres.ground_mask,
+           fc.less_sharp, fc.less_sharp_mask, state.merged_pose)
+
+
+if __name__ == "__main__":
+    main()
