@@ -22,3 +22,9 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 import jax  # noqa: E402  (import after env mutation)
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by re-jitting the same
+# pipeline graphs in every file; cache them across files and runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
