@@ -17,6 +17,9 @@ _ENV = dict(
     os.environ,
     JAX_PLATFORMS="cpu",
     XLA_FLAGS=os.environ.get("XLA_FLAGS", ""),
+    # share the suite's persistent compile cache with the subprocess
+    JAX_COMPILATION_CACHE_DIR=os.path.join(_REPO, ".jax_cache"),
+    JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS="0.5",
 )
 
 

@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from intensity_slam_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 from intensity_slam_tpu import config
 from intensity_slam_tpu.io import synthetic
 from intensity_slam_tpu.ops import curvature, ground, projection

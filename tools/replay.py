@@ -20,6 +20,10 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from intensity_slam_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
 from intensity_slam_tpu import config
 from intensity_slam_tpu.io import synthetic
 from intensity_slam_tpu.pipeline import odometry, slam

@@ -32,6 +32,10 @@ import numpy as np  # noqa: E402
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+from intensity_slam_tpu.utils.platform import honor_env_platform  # noqa: E402
+
+honor_env_platform()
+
 from intensity_slam_tpu import config  # noqa: E402
 from intensity_slam_tpu.ops import features, projection  # noqa: E402
 from intensity_slam_tpu.pipeline import slam  # noqa: E402
