@@ -25,7 +25,8 @@ class SensorConfig:
     image_crop: int = 3               # columns masked at L/R edges, spot.yaml:9
     hand_held: bool = True            # mask operator shadow rows, spot.yaml:10
     min_range: float = 0.1            # zero out closer points, image_handler.h_ouster:126
-    range_scale: float = 20.0         # range-image gain, image_handler.h_ouster:131
+    range_scale: float = 20.0         # range-image debug gain (CV_8UC1 viz),
+    # image_handler.h_ouster:131 — used by tools/visualize.py range dumps
     scan_period: float = 0.1          # ~10 Hz, README.md:153-169
 
     @property
@@ -43,7 +44,6 @@ class GroundConfig:
     dist_threshold: float = 0.01      # setDistanceThreshold, :66
     axis_max_angle_deg: float = 15.0  # setEpsAngle(15°) vs +z, :64-65
     keep_threshold: float = 0.03      # final inlier band, :86
-    max_ground_points: int = 16384    # fixed-capacity output (design choice)
 
 
 @dataclass(frozen=True)
@@ -133,21 +133,29 @@ class MappingConfig:
 class LoopConfig:
     """Loop detection + ICP verification + PGO (C7-C10, `spot.yaml:27-40`)."""
 
-    use_crop: bool = False            # spot.yaml:28
-    crop_size: float = 200.0          # spot.yaml:29
+    # --- strategy switches: the reference hard-switches between three
+    # detection strategies (`loop_closure_handler.cpp:94-96`: USE_ORBLOOP
+    # true, USE_SCANCONTEXT / kd-radius false).  Here each channel is
+    # independently selectable; any channel's candidate goes to ICP verify.
+    use_bow_loop: bool = True         # ORB bag-of-words channel (C8)
+    use_scancontext: bool = True      # ScanContext channel (C9)
+    use_radius_search: bool = False   # kd-radius channel (`:42-84`)
+    use_crop: bool = False            # crop submap around current pose, spot.yaml:28
+    crop_size: float = 200.0          # crop box half-extent (m), spot.yaml:29
     use_voxel: bool = True            # spot.yaml:31
     voxel_size: float = 0.25          # vf_scan_res, spot.yaml:32
     icp_fitness_score: float = 0.5    # spot.yaml:34
     icp_min_inlier_frac: float = 0.3  # coverage gate (see ops.icp fitness note)
     icp_iters: int = 32               # PCL ICP 100 iters; batched fixed-iter here (intensity_feature_tracker.cpp:220-224)
     icp_max_corr: float = 100.0       # setMaxCorrespondenceDistance, :221
-    min_loop_bow_threshold: float = 0.013  # spot.yaml:38 (DBoW raw-score scale)
     bow_score_threshold: float = 0.82 # accept gate for OUR random-codebook
-    # L1 signatures (different scale than DBoW raw scores; calibrated on
-    # synthetic sequences — like the reference's 0.013, it proposes
-    # aggressively and relies on ICP verification to reject)
+    # L1 signatures.  The reference gates DBoW raw scores at
+    # min_loop_bow_threshold 0.013 (spot.yaml:38) — a different score scale;
+    # this value is the calibrated equivalent and, like the reference's, it
+    # proposes aggressively and relies on ICP verification to reject.
+    # (The reference's `skiped_frames` yaml param is read but never used,
+    # `loop_closure_handler.cpp:133-139` — omitted here.)
     min_loop_search_gap: int = 20     # spot.yaml:39
-    skiped_frames: int = 10           # spot.yaml:40
     submap_window: int = 1            # loop keyframe ±1, intensity_feature_tracker.cpp:175
     max_keyframes: int = 1024         # fixed-capacity keyframe store
     keyframe_cloud_size: int = 2048   # subsampled points stored per keyframe
@@ -156,7 +164,8 @@ class LoopConfig:
     sc_num_sector: int = 60
     sc_max_radius: float = 80.0
     sc_lidar_height: float = 2.0
-    sc_search_ratio: float = 0.1      # ±10% column shift brute search
+    # (the reference's SEARCH_RATIO ±10% shift window, Scancontext.h:94, is
+    # subsumed: ops.scancontext evaluates ALL column shifts in one broadcast)
     sc_dist_threshold: float = 0.13   # SC_DIST_THRES, Scancontext.h:93
     sc_num_exclude_recent: int = 50   # Scancontext.h:89
     sc_num_candidates: int = 10       # NUM_CANDIDATES_FROM_TREE, Scancontext.h:90
@@ -176,6 +185,9 @@ class LoopConfig:
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6)
     odom_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4)
     loop_fitness_floor: float = 1e-4  # var per axis = max(fitness, floor)
+    loop_cauchy_c: float = 1.0        # Cauchy robust scale on loop edges
+    # (reference wraps loop BetweenFactors in CauchyEstimator(1),
+    # `intensity_feature_tracker.cpp:356-363`); <= 0 disables
 
 
 @dataclass(frozen=True)
@@ -209,7 +221,7 @@ def small_test_config() -> SlamConfig:
     """Tiny shapes for unit tests / CPU dry runs."""
     return SlamConfig(
         sensor=SensorConfig(image_width=256, image_height=32),
-        ground=GroundConfig(ransac_iters=128, max_ground_points=1024),
+        ground=GroundConfig(ransac_iters=128),
         feature=FeatureConfig(num_features=128),
         mapping=MappingConfig(map_capacity=1 << 14, max_query_points=512),
         loop=LoopConfig(max_keyframes=64, keyframe_cloud_size=512),

@@ -356,6 +356,59 @@ def match(
     )
 
 
+@partial(jax.jit, static_argnames=("max_hamming",))
+def match_retry(
+    fa_desc: jax.Array, fa_valid: jax.Array,
+    fb_desc: jax.Array, fb_valid: jax.Array,
+    keep_frac: float,
+    keep_frac_retry: jax.Array | float,
+    min_good: int,
+    max_hamming: int = 64,
+) -> Matches:
+    """`match` + the reference's failure re-detect contract in ONE matrix pass.
+
+    The reference re-detects both frames with 2x features and keeps the top
+    20% of matches when the first pass yields < 4 good matches
+    (`intensity_feature_tracker.cpp:652-692`).  Here detection is already
+    full-budget top-K, so the retry reduces to a looser keep fraction
+    (`keep_frac_retry`, pre-scaled by the detect multiplier) — and since only
+    the rank cut depends on the fraction, the K x K Hamming matrix, mutual-NN
+    and ranking are computed once and the cut is selected branchlessly.
+    """
+    BIG = jnp.int32(1 << 20)
+    d = hamming_matrix(fa_desc, fb_desc)
+    ok = fa_valid[:, None] & fb_valid[None, :]
+    d = jnp.where(ok, d, BIG)
+    best_b = jnp.argmin(d, axis=1)
+    best_a = jnp.argmin(d, axis=0)
+    Ka = fa_desc.shape[0]
+    ia = jnp.arange(Ka)
+    mutual = best_a[best_b] == ia
+    dist = d[ia, best_b]
+    cand = mutual & (dist < max_hamming)
+    num_mutual = jnp.sum(cand)
+
+    sort_key = jnp.where(cand, dist, BIG)
+    order = jnp.argsort(sort_key)
+    rank = jnp.zeros(Ka, jnp.int32).at[order].set(jnp.arange(Ka, dtype=jnp.int32))
+    nm = num_mutual.astype(jnp.float32)
+    keep_n1 = jnp.ceil(nm * keep_frac).astype(jnp.int32)
+    num_good1 = jnp.sum(cand & (rank < keep_n1))
+    first_bad = num_good1 < min_good
+    keep_n = jnp.where(
+        first_bad, jnp.ceil(nm * keep_frac_retry).astype(jnp.int32), keep_n1
+    )
+    good = cand & (rank < keep_n)
+    return Matches(
+        src_idx=ia.astype(jnp.int32),
+        dst_idx=best_b.astype(jnp.int32),
+        dist=dist.astype(jnp.float32),
+        valid=good,
+        num_mutual=num_mutual.astype(jnp.int32),
+        num_good=jnp.sum(good).astype(jnp.int32),
+    )
+
+
 def matched_points(fa: Features, fb: Features, m: Matches):
     """Gather matched 3D correspondences: (src (K,3), dst (K,3), w (K,)).
 

@@ -220,7 +220,12 @@ def rotation_only_ground(
     pts: jax.Array, normals: jax.Array, ds: jax.Array, w: jax.Array
 ) -> ResidualFn:
     """`LidarGroundPlaneNormFactor` (:101-140): rotation-only point-to-plane —
-    the translation column of the Jacobian is zeroed by ignoring t."""
+    the translation column of the Jacobian is zeroed by ignoring t.
+
+    Library-parity note: the reference DEFINES this functor in its residual
+    library but never instantiates it anywhere in the system (no call site
+    in `src/`); it is kept here on the same terms — a tested residual
+    available to solver users, unused by the shipped pipeline."""
 
     def fn(p: Pose):
         pw = se3.quat_rotate(p.q[None, :], pts)

@@ -109,17 +109,49 @@ def backend_step(
         num_kf=k + 1,
     )
 
-    # --- detect: ScanContext (C9) primary + bag-of-words (C8) proposal;
-    # either channel's candidate goes to ICP verification
+    # --- detect: the reference hard-switches between three strategies
+    # (`loop_closure_handler.cpp:94-96`: USE_ORBLOOP / USE_SCANCONTEXT /
+    # kd-radius); here each channel is independently config-gated and any
+    # channel's candidate goes to ICP verification.  Priority when several
+    # fire: ScanContext > BoW > radius (strongest geometric evidence first).
     kf_valid = jnp.arange(lc.max_keyframes) < state.num_kf
-    sc_idx, yaw, sc_dist, sc_found = scancontext.detect_loop(
-        sc, rk, state.kf_sc, state.kf_ringkey, kf_valid, k, lc
+    F = jnp.asarray(False)
+    if lc.use_scancontext:
+        sc_idx, yaw, sc_dist, sc_found = scancontext.detect_loop(
+            sc, rk, state.kf_sc, state.kf_ringkey, kf_valid, k, lc
+        )
+    else:
+        sc_idx, sc_dist, sc_found = jnp.int32(-1), jnp.asarray(jnp.inf), F
+    if lc.use_bow_loop:
+        bow_idx, bow_score, bow_found = bow.detect_loop(
+            sig, state.kf_sig, kf_valid, k, lc
+        )
+    else:
+        bow_idx, bow_found = jnp.int32(-1), F
+    if lc.use_radius_search:
+        # kd-radius strategy (`loop_closure_handler.cpp:42-84`): nearest
+        # keyframe pose within radius_search_m of the current pose whose
+        # timestamp differs by more than min_time_gap (40 s, `:77`); the
+        # radius search there is PCL KdTreeFLANN radiusSearch(7 m, `:68`) —
+        # here one masked distance argmin over the keyframe positions.
+        dpos = jnp.linalg.norm(
+            state.graph.poses.t - map_pose.t[None, :], axis=-1
+        )
+        eligible = (
+            kf_valid
+            & (jnp.arange(lc.max_keyframes) < k)
+            & (dpos < lc.radius_search_m)
+            & (jnp.abs(state.kf_time - timestamp) > lc.min_time_gap)
+        )
+        dmask = jnp.where(eligible, dpos, jnp.inf)
+        rad_idx = jnp.argmin(dmask).astype(jnp.int32)
+        rad_found = jnp.isfinite(dmask[rad_idx])
+    else:
+        rad_idx, rad_found = jnp.int32(-1), F
+    loop_idx = jnp.where(
+        sc_found, sc_idx, jnp.where(bow_found, bow_idx, rad_idx)
     )
-    bow_idx, bow_score, bow_found = bow.detect_loop(
-        sig, state.kf_sig, kf_valid, k, lc
-    )
-    loop_idx = jnp.where(sc_found, sc_idx, bow_idx)
-    found = sc_found | bow_found
+    found = sc_found | bow_found | rad_found
 
     def verify_and_close(st: BackendState):
         g = st.graph
@@ -143,8 +175,17 @@ def backend_step(
         # re-applied (it would double-count the turn); it only served
         # candidate ranking
         src_map = se3.transform_points(T_cur, st.kf_cloud[k])
+        src_mask = st.kf_cloud_mask[k]
+        if lc.use_crop:
+            # CropBox(+/-CROP_SIZE) applied to BOTH map-frame clouds — an
+            # axis-aligned box around the MAP ORIGIN, exactly as the
+            # reference configures it (`intensity_feature_tracker.cpp:
+            # 228-230,266-283`)
+            in_box = lambda p: jnp.all(jnp.abs(p) <= lc.crop_size, axis=-1)
+            src_mask = src_mask & in_box(src_map)
+            tgt_mask = tgt_mask & in_box(tgt)
         res = icp.icp_align(
-            src_map, st.kf_cloud_mask[k], tgt, tgt_mask, Pose.identity(),
+            src_map, src_mask, tgt, tgt_mask, Pose.identity(),
             iters=lc.icp_iters, max_corr_dist=lc.icp_max_corr,
         )
         # accept on fitness + coverage; NOT on the step-norm convergence
@@ -163,6 +204,7 @@ def backend_step(
         g2 = posegraph.optimize(
             g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
             odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
+            loop_cauchy_c=lc.loop_cauchy_c,
         )
         g_out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), g2, g

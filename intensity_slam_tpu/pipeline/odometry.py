@@ -87,15 +87,15 @@ def odometry_step(
 
     # --- match current -> previous (src = current, dst = previous so the
     # solved transform maps current-frame points into the previous frame,
-    # i.e. T_prev<-cur = T_s2s as integrated by the reference)
-    m1 = F.match(feats.desc, feats.xyz_valid, state.prev_desc,
-                 state.prev_xyz_valid, fc.match_keep_frac, fc.max_hamming)
-    # retry contract (`:652-692`): on failure, looser keep fraction
-    first_bad = m1.num_good < fc.min_good_matches
-    keep_frac2 = jnp.where(first_bad, fc.match_keep_frac_retry * 2.0,
-                           fc.match_keep_frac)
-    m = F.match(feats.desc, feats.xyz_valid, state.prev_desc,
-                state.prev_xyz_valid, keep_frac2, fc.max_hamming)
+    # i.e. T_prev<-cur = T_s2s as integrated by the reference).  The retry
+    # contract (`:652-692`: re-detect with detect_multiplier x features,
+    # keep top 20%) is a second, looser rank cut on the SAME match matrix —
+    # one pass computes both (ops.features.match_retry).
+    m = F.match_retry(
+        feats.desc, feats.xyz_valid, state.prev_desc, state.prev_xyz_valid,
+        fc.match_keep_frac, fc.match_keep_frac_retry * fc.detect_multiplier,
+        fc.min_good_matches, fc.max_hamming,
+    )
 
     src = feats.xyz[m.src_idx]
     dst = state.prev_xyz[m.dst_idx]

@@ -124,15 +124,33 @@ def _edge_residuals(g: PoseGraph, poses: Pose, odo_sqrt_info, prior_sqrt_info):
     return jnp.concatenate([r_prior[None, :], r_odo, r_loop], axis=0).reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "loop_cauchy_c"))
 def optimize(
     g: PoseGraph,
     gn_iters: int = 8,
     cg_iters: int = 64,
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
+    loop_cauchy_c: float = 1.0,
 ) -> PoseGraph:
-    """Full batched GN solve; returns the graph with updated poses."""
+    """Full batched GN solve; returns the graph with updated poses.
+
+    Loop edges carry a Cauchy robust model like the reference's
+    `CauchyEstimator(1)` wrap on loop BetweenFactors
+    (`intensity_feature_tracker.cpp:356-363`): per GN iteration each loop
+    edge's sqrt-information is reweighted by 1/sqrt(1 + s/c^2) (IRLS).
+    Redesign note: the reference whitens by the measurement noise; under our
+    honest noise model (fitness-scaled loop infos up to 1e4) that would
+    punish a high-precision loop for simply OBSERVING real drift.  Here s is
+    the residual whitened by the odometry covariance ACCUMULATED over the
+    chain between the loop endpoints — the marginal covariance of the
+    predicted relative pose, i.e. the scale on which consistency is actually
+    measurable.  A genuine loop (residual within the plausible-drift
+    envelope) starts with enough weight that IRLS converges to full
+    correction; a false positive (residual far outside it) is crushed from
+    the first iteration, before it can reshape the graph.
+    loop_cauchy_c <= 0 disables (pure quadratic).
+    """
     K = g.node_valid.shape[0]
     odo_si = 1.0 / jnp.sqrt(jnp.asarray(odo_noise, jnp.float32))
     pr_si = 1.0 / jnp.sqrt(jnp.asarray(prior_noise, jnp.float32))
@@ -140,9 +158,31 @@ def optimize(
     # invariant to a global scaling of all sqrt-informations
     scale = 1e-3
     odo_si, pr_si = odo_si * scale, pr_si * scale
-    g_scaled = g._replace(loop_sqrt_info=g.loop_sqrt_info * scale)
+    base_loop_si = g.loop_sqrt_info * scale
 
     def gn_step(poses, _):
+        # IRLS Cauchy weight per loop edge from the CURRENT iterate's
+        # whitened residual (computed with the unrobustified information)
+        if loop_cauchy_c > 0:
+            Tli = jax.tree.map(lambda a: a[g.loop_i], poses)
+            Tlj = jax.tree.map(lambda a: a[g.loop_j], poses)
+            rel_l = se3.compose(se3.inverse(Tli), Tlj)
+            r_l = se3.se3_log(se3.compose(se3.inverse(g.loop_rel), rel_l))
+            # chain-accumulated odometry covariance between the endpoints:
+            # var_axis * |i - j| (clamped >= 1 step)
+            n_e = jnp.maximum(
+                jnp.abs(g.loop_i - g.loop_j).astype(jnp.float32), 1.0
+            )
+            odo_var = jnp.asarray(odo_noise, jnp.float32)
+            s = jnp.sum(
+                r_l * r_l / (n_e[:, None] * odo_var[None, :]), axis=-1
+            )
+            w_rob = jax.lax.rsqrt(1.0 + s / (loop_cauchy_c ** 2))
+            loop_si = base_loop_si * w_rob[:, None]
+        else:
+            loop_si = base_loop_si
+        g_scaled = g._replace(loop_sqrt_info=loop_si)
+
         def r_of(x):
             # right-multiplicative retraction per node:
             # q' = q (x) exp(rot), t' = t + R(q) trans

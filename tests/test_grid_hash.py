@@ -94,3 +94,21 @@ def test_out_of_range_points_dropped():
     pts = jnp.array([[1e5, 0.0, 0.0], [1.0, 1.0, 1.0]])
     m = grid_hash.insert(m, pts, jnp.ones(2, bool), CELL)
     assert int(m.num_points) == 1
+
+
+def test_radius_count_matches_brute_force():
+    """grid_hash.radius_count vs brute force (ikd-Tree Radius_Search parity,
+    `ikd_Tree.cpp:1607-1718`)."""
+    key = jax.random.PRNGKey(3)
+    pts = jax.random.uniform(key, (1500, 3), minval=-10, maxval=10)
+    m = grid_hash.empty(1 << 14, 4)
+    m = grid_hash.insert(m, pts, jnp.ones(1500, bool), CELL)
+    retained = np.asarray(m.pts.reshape(-1, 3))[np.asarray(m.valid.reshape(-1))]
+    queries = pts[:64]
+    radius = 0.6  # must be <= CELL for the 27-cell gather to be exact
+    got = np.asarray(grid_hash.radius_count(m, queries, CELL, radius))
+    d = np.linalg.norm(
+        np.asarray(queries)[:, None, :] - retained[None, :, :], axis=-1
+    )
+    want = np.minimum((d <= radius).sum(axis=1), 32)  # knn k=32 cap
+    np.testing.assert_array_equal(got, want)

@@ -176,3 +176,31 @@ def test_posegraph_loop_removes_drift():
     # intermediate nodes spread the correction smoothly
     mid = float(g2.poses.t[5, 0])
     assert abs(mid - 5.0) < 0.3
+
+
+def test_posegraph_cauchy_rejects_false_loop():
+    """A grossly inconsistent loop edge (10 m off a drift-free chain) must
+    leave the graph essentially untouched under the default Cauchy robust
+    model (reference: CauchyEstimator(1) on loop factors,
+    `intensity_feature_tracker.cpp:356-363`), but corrupts it when the
+    robust model is disabled."""
+    bad_rel = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([19.0, 0.0, 0.0]))
+    g = _chain_graph(64, 10, [0.0, 0.0, 0.0], loop=(0, 9, bad_rel, 1e-4))
+    g_rob = posegraph.optimize(g, gn_iters=8, cg_iters=64)
+    end_rob = float(g_rob.poses.t[9, 0])
+    assert abs(end_rob - 9.0) < 0.1, f"cauchy failed to reject: end {end_rob}"
+    g_quad = posegraph.optimize(g, gn_iters=8, cg_iters=64, loop_cauchy_c=0.0)
+    end_quad = float(g_quad.poses.t[9, 0])
+    assert abs(end_quad - 9.0) > 3.0, (
+        f"expected corruption without robust model, end {end_quad}")
+
+
+def test_posegraph_cauchy_keeps_true_loop():
+    """The drift-removal case must still converge to the loop's answer with
+    the default Cauchy model on (IRLS recovers full weight as the residual
+    shrinks)."""
+    g = _chain_graph(64, 10, [0.05, 0.0, 0.0],
+                     loop=(0, 9, se3.Pose(jnp.array([1.0, 0, 0, 0]),
+                                          jnp.array([9.0, 0.0, 0.0])), 1e-4))
+    g2 = posegraph.optimize(g, gn_iters=8, cg_iters=64)
+    assert abs(float(g2.poses.t[9, 0]) - 9.0) < 0.05

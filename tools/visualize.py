@@ -11,6 +11,9 @@ Usage:
   python tools/visualize.py --islog seq.islog --out /tmp/viz
 Outputs:
   out/matches_XXXX.png   intensity pair + match lines (keyframes only)
+  out/range_0000.png     first-frame range image (reference's `image_range`:
+                         range * range_scale clamped to 255, CV_8UC1 style,
+                         image_handler.h_ouster:131)
   out/trajectory.png     top-down trajectory (+ ground truth if known)
   out/map.png            accumulated ground/corner map scatter
 """
@@ -136,6 +139,17 @@ def main() -> int:
         traj.append(np.asarray(out.pose.t))
         scan = projection.project_organized(xj, ij, cfg.sensor)
         img = np.asarray(scan.intensity)
+        if k == 0:
+            # range image at the reference's debug gain (CV_8UC1 clamp,
+            # `image_handler.h_ouster:131`)
+            rng8 = np.clip(np.asarray(scan.range) * cfg.sensor.range_scale,
+                           0, 255)
+            fig, ax = plt.subplots(figsize=(14, 2), dpi=110)
+            ax.imshow(rng8, cmap="gray", vmin=0, vmax=255, aspect="auto")
+            ax.axis("off")
+            fig.savefig(os.path.join(args.out, "range_0000.png"),
+                        bbox_inches="tight")
+            plt.close(fig)
         feats = features.extract(scan, mask, cfg.feature)
         if prev is not None and bool(out.is_keyframe):
             m = features.match(feats.desc, feats.xyz_valid, prev[1].desc,
