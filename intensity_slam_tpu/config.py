@@ -120,6 +120,21 @@ class MappingConfig:
     # corridor scans; 1024 leaves 5x headroom and quarters the kNN/plane-fit/
     # GN cost versus a 4096 pad — overflow degrades to dropped residuals,
     # never to wrong ones)
+    # sliding-window visual BA (`mapOptimization.cpp:295-361`): ORB matches
+    # against the last `sliding_window_size` mapped frames add point-to-point
+    # residuals (`FeatureMatchingResidual`) alongside the ground core.
+    # Default 0 = inert, exactly like the shipped yaml (`spot.yaml:46`).
+    sliding_window_size: int = 0
+    window_min_matches: int = 100     # matches_tmp.size() > 100, `:308`
+    window_keep_frac: float = 0.2     # top 20% by distance, `:313-315`
+    window_min_good: int = 50         # good_matches_tmp.size() > 50, `:330`
+    window_dist_gate: float = 0.3     # map-frame pair distance < 0.3, `:345`
+    # long-run capacity policy: when a map exceeds map_evict_frac of its
+    # point capacity, points farther than map_keep_radius from the current
+    # pose are evicted — the reference's rolling 21x21x11 cube-map
+    # recentering (`laserMapping.cpp:330-565`, +/-525 m) as one masked pass
+    map_keep_radius: float = 400.0
+    map_evict_frac: float = 0.8
     downsample_prefilter: int = 16384  # compact masked points to this many
     # before the voxel-dedup sort (ground masks select ~7k of 65k points; the
     # sort is the dominant cost and scales with its input length)

@@ -250,6 +250,30 @@ def knn(
     return sel, sq, jnp.isfinite(sq)
 
 
+@jax.jit
+def evict_far(m: VoxelHashMap, center: jax.Array, radius: float | jax.Array
+              ) -> VoxelHashMap:
+    """Drop every map point farther than `radius` from `center` (3,).
+
+    The TPU counterpart of the reference's rolling-cube map recentering
+    (`laserMapping.cpp:330-565`: the 21x21x11 grid of 50 m cubes is shifted
+    to keep the sensor centered, discarding cubes that fall off the edge)
+    and of ikd-Tree box deletion (`ikd_Tree.cpp:570-707`) — one masked pass,
+    no rebuild.  Ways whose cell becomes empty are freed for reuse.
+    """
+    S, W = m.way_keys.shape
+    d2 = jnp.sum((m.pts - center[None, None, :]) ** 2, axis=-1)  # (S*W+1, 8)
+    keep = m.valid & (d2 <= jnp.asarray(radius) ** 2)
+    removed = jnp.sum(m.valid & ~keep).astype(jnp.int32)
+    cell_occupied = jnp.any(keep[: S * W], axis=-1).reshape(S, W)
+    return VoxelHashMap(
+        way_keys=jnp.where(cell_occupied, m.way_keys, EMPTY_KEY),
+        pts=m.pts,
+        valid=keep,
+        num_points=m.num_points - removed,
+    )
+
+
 @partial(jax.jit, static_argnames=("cell_size",))
 def radius_count(
     m: VoxelHashMap, queries: jax.Array, cell_size: float, radius: float

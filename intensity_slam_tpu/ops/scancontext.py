@@ -104,7 +104,7 @@ def detect_loop(
     )
     d_rk = jnp.linalg.norm(hist_ring_key - cur_ring_key[None, :], axis=-1)
     d_rk = jnp.where(eligible, d_rk, jnp.inf)
-    _, cand = jax.lax.top_k(-d_rk, cfg.sc_num_candidates)
+    _, cand = jax.lax.top_k(-d_rk, min(cfg.sc_num_candidates, K))
     cand_ok = jnp.isfinite(d_rk[cand])
 
     dists, shifts = jax.vmap(

@@ -60,6 +60,8 @@ class BackendOutput(NamedTuple):
     sc_found: jax.Array       # () bool — ScanContext candidate fired
     sc_dist: jax.Array        # () f32 — best ScanContext distance
     icp_inlier_frac: jax.Array  # () f32
+    compacted: jax.Array      # () bool — keyframe store was full and was
+    # decimated by 2 BEFORE this keyframe was ingested (host mirrors it)
 
 
 def init_state(cfg: SlamConfig) -> BackendState:
@@ -77,6 +79,27 @@ def init_state(cfg: SlamConfig) -> BackendState:
     )
 
 
+def _compact_state(st: BackendState) -> BackendState:
+    """Keyframe-store half of the decimation (see posegraph.compact_half):
+    even-indexed keyframes survive; upper-half slots become stale payload
+    masked out by `num_kf`."""
+    K = st.kf_cloud.shape[0]
+    idx = jnp.arange(K)
+    src = jnp.minimum(2 * idx, K - 1)
+    new_num = (st.num_kf + 1) // 2
+    live = idx < new_num
+    return BackendState(
+        graph=posegraph.compact_half(st.graph),
+        kf_cloud=st.kf_cloud[src],
+        kf_cloud_mask=st.kf_cloud_mask[src] & live[:, None],
+        kf_sc=st.kf_sc[src],
+        kf_ringkey=st.kf_ringkey[src],
+        kf_sig=st.kf_sig[src],
+        kf_time=st.kf_time[src],
+        num_kf=new_num,
+    )
+
+
 def backend_step(
     state: BackendState,
     scan_xyz: jax.Array,      # (N, 3) sensor-frame scan of this keyframe
@@ -88,6 +111,13 @@ def backend_step(
     cfg: SlamConfig,
 ) -> tuple[BackendState, BackendOutput]:
     lc = cfg.loop
+
+    # --- capacity: decimate the store + graph by 2 when full (no silent
+    # clobber; host side mirrors via the `compacted` output flag)
+    need_compact = state.num_kf >= lc.max_keyframes
+    state = jax.lax.cond(
+        need_compact, _compact_state, lambda st: st, state
+    )
     k = state.num_kf
 
     # --- ingest: node + cloud + descriptors
@@ -216,6 +246,7 @@ def backend_step(
             icp_fitness=res.fitness, correction=corr,
             sc_found=found, sc_dist=sc_dist,
             icp_inlier_frac=res.inlier_frac,
+            compacted=need_compact,
         )
 
     def no_loop(st: BackendState):
@@ -225,6 +256,7 @@ def backend_step(
             correction=Pose.identity(),
             sc_found=found, sc_dist=sc_dist,
             icp_inlier_frac=jnp.asarray(0.0),
+            compacted=need_compact,
         )
 
     return jax.lax.cond(found, verify_and_close, no_loop, state)

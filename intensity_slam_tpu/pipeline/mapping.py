@@ -182,6 +182,22 @@ def mapping_step(
     corner_map = grid_hash.insert(state.corner_map, c_world, c_mask,
                                   corner_cell)
 
+    # --- capacity policy: near-full maps evict points far from the sensor
+    # (rolling-cube-map recentering, `laserMapping.cpp:330-565`)
+    S, W = ground_map.way_keys.shape
+    cap = S * W * 8
+    thresh = jnp.int32(mc.map_evict_frac * cap)
+    ground_map = jax.lax.cond(
+        ground_map.num_points > thresh,
+        lambda mm: grid_hash.evict_far(mm, pose.t, mc.map_keep_radius),
+        lambda mm: mm, ground_map,
+    )
+    corner_map = jax.lax.cond(
+        corner_map.num_points > thresh,
+        lambda mm: grid_hash.evict_far(mm, pose.t, mc.map_keep_radius),
+        lambda mm: mm, corner_map,
+    )
+
     new_state = MappingState(
         ground_map=ground_map,
         corner_map=corner_map,

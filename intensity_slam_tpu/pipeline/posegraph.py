@@ -85,8 +85,13 @@ def add_loop(
     cfg: LoopConfig,
 ) -> PoseGraph:
     """Add a loop BetweenFactor i->j with fitness-scaled noise: per-axis
-    variance = ICP fitness (`:344-363`), floored for near-perfect fits."""
-    l = jnp.minimum(g.num_loops, g.loop_valid.shape[0] - 1)
+    variance = ICP fitness (`:344-363`), floored for near-perfect fits.
+
+    Capacity: the edge table is a ring — past capacity the OLDEST loop edge
+    is overwritten (its constraint is already baked into the poses by the
+    solves that followed it; the reference's GTSAM graph is unbounded,
+    `intensity_feature_tracker.h:242-248`)."""
+    l = g.num_loops % g.loop_valid.shape[0]
     var = jnp.full((6,), jnp.maximum(fitness, cfg.loop_fitness_floor))
     sqrt_info = 1.0 / jnp.sqrt(var)
     return g._replace(
@@ -97,6 +102,74 @@ def add_loop(
         loop_sqrt_info=g.loop_sqrt_info.at[l].set(sqrt_info),
         loop_valid=g.loop_valid.at[l].set(True),
         num_loops=g.num_loops + 1,
+    )
+
+
+def compact_half(g: PoseGraph) -> PoseGraph:
+    """Decimate the graph by 2 when the fixed-capacity node table fills.
+
+    Even-indexed nodes survive; consecutive odometry measurements are
+    composed pairwise (Z'_{i} = Z_{2i-1} o Z_{2i}); loop edges are rewired
+    to the nearest surviving (even) endpoint with their measurements
+    adjusted by the dropped relative pose, so the constraint they encode is
+    preserved exactly.  Pure fixed-shape gathers — runs inside jit.
+
+    This bounds the trajectory like the reference bounds its map (SURVEY §5
+    long-context analogue); the reference itself keeps unbounded deques and
+    simply grows (`intensity_feature_tracker.h:242-248`).
+    """
+    K = g.node_valid.shape[0]
+    idx = jnp.arange(K)
+    src = jnp.minimum(2 * idx, K - 1)
+    new_num = (g.num_nodes + 1) // 2
+    new_valid = idx < new_num
+
+    poses = jax.tree.map(lambda a: a[src], g.poses)
+    # Z'_i = Z_{2i-1} o Z_{2i} (pose convention T_k = T_{k-1} o Z_k)
+    prev_src = jnp.maximum(src - 1, 0)
+    rel_pair = se3.compose(
+        jax.tree.map(lambda a: a[prev_src], g.odo_rel),
+        jax.tree.map(lambda a: a[src], g.odo_rel),
+    )
+    keep_rel = (idx > 0) & new_valid
+    odo_rel = jax.tree.map(
+        lambda r, i: jnp.where(keep_rel[:, None], r, i),
+        rel_pair, Pose.identity((K,)),
+    )
+
+    # loop edges: odd endpoints move to the preceding even node, measurement
+    # adjusted by the dropped odometry step.
+    # i odd:  Z_{i-1 -> j} = Z_i o Z_{i -> j}
+    # j odd:  Z_{i -> j-1} = Z_{i -> j} o Z_j^-1
+    li, lj = g.loop_i, g.loop_j
+    rel_li = jax.tree.map(lambda a: a[li], g.odo_rel)
+    rel_lj = jax.tree.map(lambda a: a[lj], g.odo_rel)
+    i_odd = (li % 2 == 1)[:, None]
+    j_odd = (lj % 2 == 1)[:, None]
+    rel = g.loop_rel
+    rel = jax.tree.map(
+        lambda adj, r: jnp.where(i_odd, adj, r),
+        se3.compose(rel_li, rel), rel,
+    )
+    rel = jax.tree.map(
+        lambda adj, r: jnp.where(j_odd, adj, r),
+        se3.compose(rel, se3.inverse(rel_lj)), rel,
+    )
+    new_li = li // 2
+    new_lj = lj // 2
+    loop_valid = g.loop_valid & (new_li != new_lj)
+
+    return PoseGraph(
+        poses=poses,
+        node_valid=new_valid,
+        num_nodes=new_num,
+        odo_rel=odo_rel,
+        loop_i=new_li,
+        loop_j=new_lj,
+        loop_rel=rel,
+        loop_sqrt_info=g.loop_sqrt_info,
+        loop_valid=loop_valid,
+        num_loops=g.num_loops,
     )
 
 

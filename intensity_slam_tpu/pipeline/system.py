@@ -66,6 +66,21 @@ class SlamSystem:
                 out.pose.q, out.pose.t,
                 jnp.asarray(timestamp, jnp.float32),
             )
+            if bool(bout.compacted):
+                # device store was full and decimated by 2 BEFORE ingesting
+                # this keyframe — mirror on the host logs
+                import warnings
+
+                warnings.warn(
+                    f"keyframe store full ({self.cfg.loop.max_keyframes}); "
+                    "decimated by 2 (even-indexed keyframes kept)",
+                    stacklevel=2,
+                )
+                self.kf_map_pose = self.kf_map_pose[0::2]
+                self.loops = [(a // 2, b // 2, f) for a, b, f in self.loops]
+                self.frame_kf_id = [i // 2 if i >= 0 else i
+                                    for i in self.frame_kf_id]
+                info["compacted"] = True
             self.kf_map_pose.append(
                 (np.asarray(out.pose.q), np.asarray(out.pose.t))
             )

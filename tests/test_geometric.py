@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from intensity_slam_tpu import config
 from intensity_slam_tpu.io import synthetic
@@ -53,6 +54,7 @@ def test_geometric_odometry_recovers_motion():
     assert float(jnp.linalg.norm(err[3:])) < 0.08, np.asarray(err)
 
 
+@pytest.mark.slow
 def test_fallback_engages_on_textureless_world():
     """Kill intensity texture -> odometry skips -> geometric fallback keeps
     tracking (the full degeneracy chain, SURVEY §5 failure detection)."""
@@ -91,3 +93,25 @@ def test_full_slam_with_fallback_available():
     )(poses.q, poses.t)
     ate = float(odometry.ate_rmse(outs.pose.t, gt))
     assert ate < 0.1, f"ATE {ate}"
+
+
+def test_fallback_engages_small_config():
+    """Small-config equivalent of the textureless fallback chain (the
+    full-size variant is @slow; this one runs in the default suite)."""
+    import pytest  # noqa: F401
+
+    cfg = config.small_test_config()
+    world = synthetic.corridor_world()
+    frames = 6
+    poses = synthetic.corridor_trajectory(frames, speed=0.3)
+    xyz, inten = synthetic.render_sequence(poses, world, cfg.sensor)
+    inten_flat = jnp.full_like(inten, 100.0)
+    times = jnp.arange(frames, dtype=jnp.float32) * 0.1
+    outs = slam.run_sequence(xyz, inten_flat, times, cfg)
+    assert np.asarray(outs.skip).all()
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = jax.vmap(
+        lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+    )(poses.q, poses.t)
+    end_err = float(jnp.linalg.norm(outs.pose.t[-1] - gt[-1]))
+    assert end_err < 0.35, f"fallback tracking err {end_err}"

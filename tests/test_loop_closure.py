@@ -49,6 +49,7 @@ def loop_cfg():
     ))
 
 
+@pytest.mark.slow
 def test_out_and_back_closes_loop(loop_cfg):
     cfg = loop_cfg
     world = synthetic.corridor_world()
@@ -82,3 +83,41 @@ def test_out_and_back_closes_loop(loop_cfg):
     # and within a tight absolute bound
     assert end_err_pgo <= end_err_raw + 1e-6
     assert end_err_pgo < 0.35, f"pgo end err {end_err_pgo} (raw {end_err_raw})"
+
+
+def test_out_and_back_closes_loop_small():
+    """Small-config equivalent of the out-and-back loop closure (the
+    full-size variant is @slow and runs in the slow pass)."""
+    cfg = config.small_test_config()
+    cfg = cfg.replace(loop=dataclasses.replace(
+        cfg.loop,
+        sc_num_exclude_recent=4,
+        min_loop_search_gap=4,
+        max_keyframes=64,
+        keyframe_cloud_size=512,
+    ))
+    world = synthetic.corridor_world()
+    poses = _loop_trajectory()
+    T = poses.q.shape[0]
+    xyz, inten = jax.jit(
+        lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world, cfg.sensor)
+    )(poses.q, poses.t)
+
+    sys = SlamSystem(cfg)
+    for k in range(T):
+        sys.process(xyz[k], inten[k], k * 0.1)
+
+    assert len(sys.kf_map_pose) >= 8
+    assert len(sys.loops) >= 1, "no loop closure found on revisit"
+    cur, old, fit = sys.loops[0]
+    assert cur - old >= 4
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = np.asarray(jax.vmap(
+        lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+    )(poses.q, poses.t))
+    traj = sys.trajectory()
+    end_err_pgo = np.linalg.norm(traj[-1] - gt[-1])
+    raw = np.stack([t for _, t in sys.frame_poses])
+    end_err_raw = np.linalg.norm(raw[-1] - gt[-1])
+    assert end_err_pgo <= end_err_raw + 1e-6
+    assert end_err_pgo < 0.6, f"pgo end err {end_err_pgo} (raw {end_err_raw})"
