@@ -129,6 +129,12 @@ class MappingConfig:
     window_keep_frac: float = 0.2     # top 20% by distance, `:313-315`
     window_min_good: int = 50         # good_matches_tmp.size() > 50, `:330`
     window_dist_gate: float = 0.3     # map-frame pair distance < 0.3, `:345`
+    window_sqrt_info: float = 20.0    # per-axis sqrt-information of a visual
+    # match (sigma ~5 cm).  The reference adds FeatureMatchingResidual blocks
+    # unwhitened to a problem with NO prior factor; our solve carries the
+    # odometry-prediction anchor (prior_sqrt_info), so visual observations
+    # need their honest information to override it where they genuinely
+    # observe x/y/yaw
     # long-run capacity policy: when a map exceeds map_evict_frac of its
     # point capacity, points farther than map_keep_radius from the current
     # pose are evicted — the reference's rolling 21x21x11 cube-map
@@ -207,11 +213,16 @@ class LoopConfig:
 
 @dataclass(frozen=True)
 class ParallelConfig:
-    """Multi-host sharding (new — no reference counterpart; SURVEY §7.10)."""
+    """Multi-host sharding (new — no reference counterpart; SURVEY §7.10).
 
-    mesh_axis_data: str = "data"      # keyframe/submap shard axis
-    keyframes_per_shard: int = 512
-    ba_cg_iters: int = 16
+    Read by `parallel.dist_backend` (the sharded keyframe back-end) and
+    `parallel.ba_builder` (live BA-problem construction)."""
+
+    mesh_axis_data: str = "data"      # keyframe/observation shard axis
+    ba_keep_frac: float = 0.5         # match keep fraction for BA tracks
+    ba_gn_iters: int = 5              # Gauss-Newton iterations in dist-BA
+    ba_cg_iters: int = 16             # CG iterations per Schur solve
+    pgo_cg_iters: int = 64            # CG iterations in the sharded PGO
 
 
 @dataclass(frozen=True)

@@ -1,0 +1,133 @@
+"""Distributed keyframe back-end, fed from the LIVE SLAM state.
+
+This is the integration layer the scale-out story runs through
+(BASELINE.json north star; SURVEY §7.10): it takes the exact
+`pipeline.loop.BackendState` the online system maintains (keyframe clouds,
+descriptors, feature points, pose graph) and runs the heavy global solves
+sharded over a `jax.sharding.Mesh`:
+
+1. `refine` — the full pass:
+   a. sharded pose-graph solve of the live graph (odometry chain + accepted
+      loop edges) via `dist_pgo.optimize_shmap` — explicit SPMD with edges
+      sharded and one psum per CG application;
+   b. BA problem built from the live keyframe store's feature tracks
+      (`ba_builder.build_problem`), observations sharded over the mesh
+      (`dist_ba.shard_problem`), solved by the distributed Schur-complement
+      Gauss-Newton (`dist_ba.ba_solve`);
+   c. BA-refined poses written back into the graph (valid nodes only),
+      landmarks returned as the refined sparse map.
+
+   The online system's own loop-closure solves keep running on-device at
+   keyframe rate; `refine` is the batch counterpart of the reference's
+   `updatePoses` full rewrite (`intensity_feature_tracker.cpp:110-145`) —
+   run it periodically, at session end, or on another slice.
+
+2. `shard_backend_state` — places the keyframe-major store arrays sharded
+   over the mesh so the whole BackendState lives distributed (the "sharded
+   keyframe store": each shard holds a contiguous block of keyframes'
+   clouds/descriptors/feature points; graph + scalars replicated).
+
+Everything here is also valid on one device (mesh=None) — the same code
+path, minus collectives.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..config import SlamConfig
+from ..pipeline import posegraph
+from ..pipeline.loop import BackendState
+from . import ba_builder, dist_ba, dist_pgo
+
+
+class RefineResult(NamedTuple):
+    state: BackendState       # graph poses updated (PGO + BA)
+    landmarks: jax.Array      # (L, 3) BA-refined sparse landmark map
+    landmark_valid: jax.Array  # (L,) bool — tracks with >= 2 observations
+    ba_initial_cost: jax.Array
+    ba_final_cost: jax.Array
+    num_obs: jax.Array        # () int32 BA observations used
+
+
+def shard_backend_state(state: BackendState, mesh, axis: str = "data"
+                        ) -> BackendState:
+    """Distribute the keyframe store: keyframe-major arrays sharded over
+    `axis` (each shard owns a block of keyframes), graph + scalars
+    replicated (poses are tiny; the clouds/descriptors are the bulk)."""
+    kf = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    return BackendState(
+        graph=jax.tree.map(lambda a: jax.device_put(a, rep), state.graph),
+        kf_cloud=jax.device_put(state.kf_cloud, kf),
+        kf_cloud_mask=jax.device_put(state.kf_cloud_mask, kf),
+        kf_sc=jax.device_put(state.kf_sc, kf),
+        kf_ringkey=jax.device_put(state.kf_ringkey, kf),
+        kf_sig=jax.device_put(state.kf_sig, kf),
+        kf_time=jax.device_put(state.kf_time, kf),
+        num_kf=jax.device_put(state.num_kf, rep),
+        kf_feat_desc=jax.device_put(state.kf_feat_desc, kf),
+        kf_feat_xyz=jax.device_put(state.kf_feat_xyz, kf),
+        kf_feat_valid=jax.device_put(state.kf_feat_valid, kf),
+    )
+
+
+def refine(
+    state: BackendState,
+    cfg: SlamConfig,
+    mesh=None,
+    run_pgo: bool = True,
+) -> RefineResult:
+    """Global trajectory + structure refinement from live state (sharded
+    over `mesh` when given; identical math on one device when None)."""
+    pc, lc = cfg.parallel, cfg.loop
+    axis = pc.mesh_axis_data
+
+    # --- (a) pose-graph solve of the live graph
+    g = state.graph
+    if run_pgo:
+        if mesh is not None:
+            g = dist_pgo.optimize_shmap(
+                g, mesh,
+                gn_iters=lc.pgo_gn_iters, cg_iters=pc.pgo_cg_iters,
+                odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
+                loop_cauchy_c=lc.loop_cauchy_c, axis=axis,
+            )
+        else:
+            g = posegraph.optimize(
+                g, gn_iters=lc.pgo_gn_iters, cg_iters=pc.pgo_cg_iters,
+                odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
+                loop_cauchy_c=lc.loop_cauchy_c,
+            )
+    state = state._replace(graph=g)
+
+    # --- (b) BA from the live keyframe store, observations sharded
+    prob = jax.jit(ba_builder.build_problem, static_argnums=1)(state, cfg)
+    if mesh is not None:
+        prob = dist_ba.shard_problem(prob, mesh, axis)
+    res = dist_ba.ba_solve(
+        prob, gn_iters=pc.ba_gn_iters, cg_iters=pc.ba_cg_iters
+    )
+
+    # --- (c) write refined poses back (valid live nodes only; node 0 is the
+    # gauge anchor and padding slots are frozen inside the solve already)
+    live = (jnp.arange(g.node_valid.shape[0]) < state.num_kf)[:, None]
+    new_poses = jax.tree.map(
+        lambda ref, old: jnp.where(live, ref, old), res.poses, g.poses
+    )
+    g = g._replace(poses=new_poses)
+
+    L = prob.landmarks.shape[0]
+    cnt = jax.ops.segment_sum(prob.obs_w, prob.obs_lm, num_segments=L)
+    return RefineResult(
+        state=state._replace(graph=g),
+        landmarks=res.landmarks,
+        landmark_valid=cnt >= 2.0,
+        ba_initial_cost=res.initial_cost,
+        ba_final_cost=res.final_cost,
+        num_obs=jnp.sum(prob.obs_w > 0).astype(jnp.int32),
+    )

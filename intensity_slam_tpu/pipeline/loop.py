@@ -49,6 +49,12 @@ class BackendState(NamedTuple):
     kf_sig: jax.Array         # (K, V) bag-of-binary-words signatures (C8)
     kf_time: jax.Array        # (K,)
     num_kf: jax.Array         # () int32
+    # per-keyframe intensity features (the reference keeps full descriptor
+    # sets per Keyframe, `keyframe.h:71-113`) — the raw material for the
+    # distributed bundle-adjustment back-end (parallel.ba_builder)
+    kf_feat_desc: jax.Array   # (K, F, 8) uint32
+    kf_feat_xyz: jax.Array    # (K, F, 3) sensor-frame feature points
+    kf_feat_valid: jax.Array  # (K, F)
 
 
 class BackendOutput(NamedTuple):
@@ -67,6 +73,7 @@ class BackendOutput(NamedTuple):
 def init_state(cfg: SlamConfig) -> BackendState:
     lc = cfg.loop
     K, P = lc.max_keyframes, lc.keyframe_cloud_size
+    F = cfg.feature.num_features
     return BackendState(
         graph=posegraph.empty(K, 256),
         kf_cloud=jnp.zeros((K, P, 3), jnp.float32),
@@ -76,6 +83,9 @@ def init_state(cfg: SlamConfig) -> BackendState:
         kf_sig=jnp.zeros((K, bow.VOCAB_SIZE), jnp.float32),
         kf_time=jnp.zeros((K,), jnp.float32),
         num_kf=jnp.int32(0),
+        kf_feat_desc=jnp.zeros((K, F, 8), jnp.uint32),
+        kf_feat_xyz=jnp.zeros((K, F, 3), jnp.float32),
+        kf_feat_valid=jnp.zeros((K, F), bool),
     )
 
 
@@ -97,6 +107,9 @@ def _compact_state(st: BackendState) -> BackendState:
         kf_sig=st.kf_sig[src],
         kf_time=st.kf_time[src],
         num_kf=new_num,
+        kf_feat_desc=st.kf_feat_desc[src],
+        kf_feat_xyz=st.kf_feat_xyz[src],
+        kf_feat_valid=st.kf_feat_valid[src] & live[:, None],
     )
 
 
@@ -104,11 +117,13 @@ def backend_step(
     state: BackendState,
     scan_xyz: jax.Array,      # (N, 3) sensor-frame scan of this keyframe
     scan_mask: jax.Array,     # (N,)
-    desc: jax.Array,          # (Kf, 8) uint32 keyframe feature descriptors
-    desc_valid: jax.Array,    # (Kf,)
+    desc: jax.Array,          # (F, 8) uint32 keyframe feature descriptors
+    desc_valid: jax.Array,    # (F,)
     map_pose: Pose,           # mapping-refined pose of this keyframe
     timestamp: jax.Array,
     cfg: SlamConfig,
+    feat_xyz: jax.Array | None = None,  # (F, 3) sensor-frame feature points
+    # (stored for the distributed BA back-end; zeros if not provided)
 ) -> tuple[BackendState, BackendOutput]:
     lc = cfg.loop
 
@@ -128,6 +143,8 @@ def backend_step(
     sc = scancontext.make_scancontext(scan_xyz, scan_mask, lc)
     rk = scancontext.ring_key(sc)
     sig = bow.signature(desc, desc_valid)
+    if feat_xyz is None:
+        feat_xyz = jnp.zeros_like(state.kf_feat_xyz[0])
     state = state._replace(
         graph=graph,
         kf_cloud=state.kf_cloud.at[k].set(cloud),
@@ -137,6 +154,9 @@ def backend_step(
         kf_sig=state.kf_sig.at[k].set(sig),
         kf_time=state.kf_time.at[k].set(timestamp),
         num_kf=k + 1,
+        kf_feat_desc=state.kf_feat_desc.at[k].set(desc),
+        kf_feat_xyz=state.kf_feat_xyz.at[k].set(feat_xyz),
+        kf_feat_valid=state.kf_feat_valid.at[k].set(desc_valid),
     )
 
     # --- detect: the reference hard-switches between three strategies

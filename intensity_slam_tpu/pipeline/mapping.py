@@ -13,12 +13,19 @@ Replicates `mapOptimization::mapOptimizationCallback`
 - world-transformed ground and corner points are inserted into the
   incremental map (`:467-479`; ikd-Trees there, voxel grid-hash here)
 
+Sliding-window visual BA (`:295-361`): when `sliding_window_size > 0` the
+step also matches the current frame's binary descriptors against each of the
+last W mapped frames and adds point-to-point residuals
+(`FeatureMatchingResidual`, `lidarFeaturePointsFunction.hpp:61-98`) for
+matches that pass the reference's gates — >`window_min_matches` mutual
+matches, top `window_keep_frac` by distance, >`window_min_good` survivors,
+map-frame pair distance < `window_dist_gate`.  Defaults match the shipped
+yaml (`spot.yaml:46`: window 0 = inert).
+
 Dropped reference paths, for the record: the previous-frame ORB BA residuals
-are disabled in the reference itself (`&& false`, `:251`), and the
-sliding-window ORB BA is inert with the shipped `sliding_window_size: 0`
-(`spot.yaml:46`, code `:295-361`).  The corner ikd-Tree is built and fed but
-never used in residuals (`:504-505,478-479`) — we keep a corner map for the
-same visualization/completeness role.
+are disabled in the reference itself (`&& false`, `:251`).  The corner
+ikd-Tree is built and fed but never used in residuals (`:504-505,478-479`) —
+we keep a corner map for the same visualization/completeness role.
 
 TPU design: correspondences for the whole scan are one batched 27-cell
 k-NN gather; all plane fits are one batched 3x3 normal-equation solve; the
@@ -34,6 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
+from ..ops import features as feat_ops
 from ..ops import grid_hash, solver
 from ..ops.voxel import voxel_downsample
 from ..utils import se3
@@ -46,6 +54,15 @@ class MappingState(NamedTuple):
     T_map_odom: Pose            # re-anchored map<->odom transform
     initialized: jax.Array      # () bool
     frame_idx: jax.Array        # () int32
+    # sliding visual window (`keyframe.h:38-66` SlideWindowKeyframe): ring of
+    # the last W mapped frames' descriptors, sensor-frame feature points and
+    # refined map poses.  W = sliding_window_size (0 => zero-size arrays,
+    # zero compute — the shipped-yaml configuration)
+    win_desc: jax.Array         # (W, F, 8) uint32
+    win_xyz: jax.Array          # (W, F, 3) sensor-frame feature points
+    win_valid: jax.Array        # (W, F) bool
+    win_pose: Pose              # [W] map-frame poses
+    win_count: jax.Array        # () int32 frames ever inserted
 
 
 class MappingOutput(NamedTuple):
@@ -54,18 +71,64 @@ class MappingOutput(NamedTuple):
     solve_cost: jax.Array
     converged: jax.Array
     map_points: jax.Array       # () int32 ground-map size
+    num_window_residuals: jax.Array  # () int32 sliding-window BA matches used
 
 
 def init_state(cfg: SlamConfig) -> MappingState:
     mc = cfg.mapping
     num_sets = mc.map_capacity // (4 * 8)
+    W, F = mc.sliding_window_size, cfg.feature.num_features
     return MappingState(
         ground_map=grid_hash.empty(num_sets, 4),
         corner_map=grid_hash.empty(num_sets, 4),
         T_map_odom=Pose.identity(),
         initialized=jnp.asarray(False),
         frame_idx=jnp.asarray(0, jnp.int32),
+        win_desc=jnp.zeros((W, F, 8), jnp.uint32),
+        win_xyz=jnp.zeros((W, F, 3), jnp.float32),
+        win_valid=jnp.zeros((W, F), bool),
+        win_pose=Pose.identity((W,)),
+        win_count=jnp.asarray(0, jnp.int32),
     )
+
+
+def _window_residuals(
+    state: MappingState,
+    feats: feat_ops.Features,
+    prior: Pose,
+    cfg: SlamConfig,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Sliding-window visual BA correspondences (`mapOptimization.cpp:
+    295-361`): match the current frame's descriptors against every window
+    frame, apply the reference's gates, and return flattened point-to-point
+    pairs (src sensor-frame (W*F,3), dst map-frame (W*F,3), weights (W*F,),
+    count)."""
+    mc, fc = cfg.mapping, cfg.feature
+    Wn = mc.sliding_window_size
+    fval = feats.valid & feats.xyz_valid
+    m = jax.vmap(
+        lambda wd, wv: feat_ops.match(
+            feats.desc, fval, wd, wv, mc.window_keep_frac, fc.max_hamming
+        )
+    )(state.win_desc, state.win_valid)
+    # frame gates (`:308` matches > 100, `:330` good > 50) + live slots
+    slot_live = jnp.arange(Wn) < jnp.minimum(state.win_count, Wn)
+    frame_ok = (
+        slot_live
+        & (m.num_mutual > mc.window_min_matches)
+        & (m.num_good > mc.window_min_good)
+    )
+    src = feats.xyz[m.src_idx]                         # (W, F, 3) sensor
+    dst = jnp.take_along_axis(state.win_xyz, m.dst_idx[..., None], axis=1)
+    dst_map = jax.vmap(se3.transform_points)(state.win_pose, dst)
+    # map-frame pair distance gate at the prior pose (`:345` < 0.3 m)
+    src_map = se3.transform_points(prior, src.reshape(-1, 3)).reshape(src.shape)
+    near = jnp.linalg.norm(src_map - dst_map, axis=-1) < mc.window_dist_gate
+    mask = (m.valid & near & frame_ok[:, None]).astype(jnp.float32)
+    # block weight = squared sqrt-information (see config.window_sqrt_info)
+    w = mask * mc.window_sqrt_info**2
+    return (src.reshape(-1, 3), dst_map.reshape(-1, 3), w.reshape(-1),
+            jnp.sum(mask).astype(jnp.int32))
 
 
 def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
@@ -115,6 +178,8 @@ def mapping_step(
     corner_mask: jax.Array,     # (Nc,) bool
     odom_pose: Pose,            # merged odometry pose (odom frame)
     cfg: SlamConfig,
+    features: feat_ops.Features | None = None,  # current-frame features for
+    # the sliding-window visual BA (required when sliding_window_size > 0)
 ) -> tuple[MappingState, MappingOutput]:
     mc = cfg.mapping
     ground_cell = 2.0 * mc.ground_voxel   # octant resolution = ground_voxel
@@ -145,11 +210,28 @@ def mapping_step(
     # (corner/edge factors) override them
     enough = num_res >= 16
     prior_sqrt_info = jnp.asarray(mc.prior_sqrt_info, jnp.float32)
-    fn = solver.concat_residuals(
+    residual_sets = [
         (solver.point_to_plane_nd(
             q_pts, n, d, w * enough.astype(jnp.float32)), 1),
         (solver.pose_prior(prior, prior_sqrt_info), 6),
-    )
+    ]
+    # --- sliding-window visual BA residuals (`:295-361`); the window size is
+    # a compile-time constant, so the shipped 0 costs nothing
+    if mc.sliding_window_size > 0:
+        if features is None:
+            raise ValueError(
+                "mapping_step needs current-frame features when "
+                "sliding_window_size > 0"
+            )
+        ba_src, ba_dst, ba_w, num_window = _window_residuals(
+            state, features, prior, cfg
+        )
+        residual_sets.append(
+            (solver.point_to_point(ba_src, ba_dst, ba_w), 3)
+        )
+    else:
+        num_window = jnp.asarray(0, jnp.int32)
+    fn = solver.concat_residuals(*residual_sets)
     res = solver.solve_pose(
         prior,
         fn,
@@ -158,7 +240,7 @@ def mapping_step(
         robust_scale=0.2,
     )
     # keep the prior when the map is empty / not enough structure
-    do_solve = state.initialized & enough
+    do_solve = state.initialized & (enough | (num_window >= 16))
     pose = jax.tree.map(
         lambda s, p: jnp.where(do_solve, s, p), res.pose, prior
     )
@@ -198,12 +280,34 @@ def mapping_step(
         lambda mm: mm, corner_map,
     )
 
+    # --- sliding-window ring update: this frame's features + refined pose
+    # enter the window (`:203` cur_keyframe pushed after the solve)
+    if mc.sliding_window_size > 0:
+        slot = state.frame_idx % mc.sliding_window_size
+        fval = features.valid & features.xyz_valid
+        win_desc = state.win_desc.at[slot].set(features.desc)
+        win_xyz = state.win_xyz.at[slot].set(features.xyz)
+        win_valid = state.win_valid.at[slot].set(fval)
+        win_pose = jax.tree.map(
+            lambda a, v: a.at[slot].set(v), state.win_pose, pose
+        )
+        win_count = state.win_count + 1
+    else:
+        win_desc, win_xyz, win_valid = (
+            state.win_desc, state.win_xyz, state.win_valid)
+        win_pose, win_count = state.win_pose, state.win_count
+
     new_state = MappingState(
         ground_map=ground_map,
         corner_map=corner_map,
         T_map_odom=T_map_odom,
         initialized=state.initialized | (jnp.sum(ground_mask) > 0),
         frame_idx=state.frame_idx + 1,
+        win_desc=win_desc,
+        win_xyz=win_xyz,
+        win_valid=win_valid,
+        win_pose=win_pose,
+        win_count=win_count,
     )
     out = MappingOutput(
         pose=pose,
@@ -211,5 +315,6 @@ def mapping_step(
         solve_cost=res.final_cost,
         converged=res.converged,
         map_points=ground_map.num_points,
+        num_window_residuals=num_window,
     )
     return new_state, out

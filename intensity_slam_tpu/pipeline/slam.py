@@ -47,11 +47,14 @@ class SlamOutput(NamedTuple):
     is_keyframe: jax.Array
     num_good: jax.Array
     num_plane_residuals: jax.Array
+    num_window_residuals: jax.Array  # sliding-window BA matches (0 if off)
     ground_ok: jax.Array
     map_points: jax.Array
     desc: jax.Array             # (K, 8) uint32 frame descriptors (for the
     # keyframe store / BoW loop channel); None inside lax.scan replays
     desc_valid: jax.Array
+    feat_xyz: jax.Array         # (K, 3) sensor-frame feature points (for the
+    # keyframe store / distributed BA); None inside lax.scan replays
 
 
 def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
@@ -111,6 +114,7 @@ def slam_step(
         xyz, gres.ground_mask,
         fc.less_sharp, fc.less_sharp_mask,
         merged, cfg,
+        features=odo_out.features,
     )
 
     new_state = SlamState(
@@ -124,10 +128,12 @@ def slam_step(
         is_keyframe=odo_out.is_keyframe,
         num_good=odo_out.num_good,
         num_plane_residuals=map_out.num_plane_residuals,
+        num_window_residuals=map_out.num_window_residuals,
         ground_ok=gres.ok,
         map_points=map_out.map_points,
         desc=odo_out.features.desc,
         desc_valid=odo_out.features.valid & odo_out.features.xyz_valid,
+        feat_xyz=odo_out.features.xyz,
     )
     return new_state, out
 
@@ -144,7 +150,8 @@ def run_sequence(
         # descriptors are per-frame bulk data — drop them from the stacked
         # replay output to bound memory
         return state, out._replace(desc=jnp.zeros(0, jnp.uint32),
-                                   desc_valid=jnp.zeros(0, bool))
+                                   desc_valid=jnp.zeros(0, bool),
+                                   feat_xyz=jnp.zeros(0, jnp.float32))
 
     _, outs = jax.lax.scan(step, init_state(cfg), (xyz_seq, inten_seq, times))
     return outs

@@ -39,8 +39,8 @@ class SlamSystem:
             lambda st, x, i, t: slam.slam_step(st, x, i, t, self.mask, cfg)
         )
         self._backend = jax.jit(
-            lambda bst, x, m, d, dv, q, tt, ts: loop_mod.backend_step(
-                bst, x, m, d, dv, Pose(q, tt), ts, cfg)
+            lambda bst, x, m, d, dv, q, tt, ts, fx: loop_mod.backend_step(
+                bst, x, m, d, dv, Pose(q, tt), ts, cfg, feat_xyz=fx)
         )
         # host-side logs
         self.frame_poses: list[np.ndarray] = []   # map poses (q, t) per frame
@@ -50,13 +50,18 @@ class SlamSystem:
         self.num_skips = 0
 
     def process(self, xyz, inten, timestamp) -> dict:
+        import time
+
+        t0 = time.perf_counter()
         self.state, out = self._front(self.state, xyz, inten,
                                       jnp.asarray(timestamp, jnp.float32))
-        is_kf = bool(out.is_keyframe)
+        is_kf = bool(out.is_keyframe)   # forces device sync of the front step
+        t1 = time.perf_counter()
         info = {
             "skip": bool(out.skip),
             "is_keyframe": is_kf,
             "num_good": int(out.num_good),
+            "t_front": t1 - t0,
         }
         self.num_skips += info["skip"]
         if is_kf:
@@ -65,6 +70,7 @@ class SlamSystem:
                 self.bstate, xyz, scan_valid, out.desc, out.desc_valid,
                 out.pose.q, out.pose.t,
                 jnp.asarray(timestamp, jnp.float32),
+                out.feat_xyz,
             )
             if bool(bout.compacted):
                 # device store was full and decimated by 2 BEFORE ingesting
@@ -84,6 +90,7 @@ class SlamSystem:
             self.kf_map_pose.append(
                 (np.asarray(out.pose.q), np.asarray(out.pose.t))
             )
+            info["t_backend"] = time.perf_counter() - t1
             info["sc_found"] = bool(bout.sc_found)
             info["sc_dist"] = float(bout.sc_dist)
             info["icp_fitness"] = float(bout.icp_fitness)

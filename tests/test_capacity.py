@@ -103,8 +103,9 @@ def test_backend_compacts_at_capacity():
     cloud = jax.random.uniform(jax.random.PRNGKey(0), (512, 3),
                                minval=-5, maxval=5)
     mask = jnp.ones(512, bool)
-    desc = jnp.zeros((8, 8), jnp.uint32)
-    dv = jnp.zeros((8,), bool)
+    F = cfg.feature.num_features
+    desc = jnp.zeros((F, 8), jnp.uint32)
+    dv = jnp.zeros((F,), bool)
     step = jax.jit(lambda st, p, t: loop_mod.backend_step(
         st, cloud, mask, desc, dv, Pose(_unit_q(), p), t, cfg))
     fed = []

@@ -41,6 +41,14 @@ def main() -> int:
     ap.add_argument("--ate-bound", type=float, default=0.6)
     ap.add_argument("--small", action="store_true", help="small test shapes")
     ap.add_argument("--npz", type=str, default=None)
+    ap.add_argument("--benchmark", action="store_true",
+                    help="hard benchmark: multi-loop circuit world (~140 m/"
+                         "lap, rooms, clutter, a 12 m textureless span), "
+                         "full SlamSystem, JSON results via --out")
+    ap.add_argument("--out", type=str, default=None,
+                    help="write benchmark results JSON to this path")
+    ap.add_argument("--no-textureless", action="store_true",
+                    help="benchmark world without the degenerate span")
     ap.add_argument("--pipeline", choices=["system", "slam", "odometry"],
                     default="slam",
                     help="system = full SLAM + loop closure + PGO (host-"
@@ -55,6 +63,26 @@ def main() -> int:
         inten = jnp.asarray(data["intensity"])
         times = jnp.asarray(data["times"])
         gt_t = jnp.asarray(data["gt_t"]) if "gt_t" in data else None
+    elif args.benchmark:
+        if args.frames == 40:   # default too short for the circuit
+            args.frames = 420
+        args.pipeline = "system"
+        world = synthetic.circuit_world(textureless=not args.no_textureless)
+        poses = synthetic.circuit_trajectory(args.frames, speed=0.4)
+        render = jax.jit(lambda q, t: synthetic.render_sequence(
+            se3.Pose(q, t), world, cfg.sensor))
+        chunks = []
+        CH = 32   # render in chunks: the (F, H, W, B) slab tensors are large
+        for s in range(0, args.frames, CH):
+            cx, ci = render(poses.q[s:s + CH], poses.t[s:s + CH])
+            chunks.append((np.asarray(cx), np.asarray(ci)))
+        xyz = jnp.asarray(np.concatenate([c[0] for c in chunks]))
+        inten = jnp.asarray(np.concatenate([c[1] for c in chunks]))
+        times = jnp.arange(args.frames, dtype=jnp.float32) * cfg.sensor.scan_period
+        p0 = se3.Pose(poses.q[0], poses.t[0])
+        gt_t = jax.vmap(
+            lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+        )(poses.q, poses.t)
     else:
         world = synthetic.corridor_world()
         poses = synthetic.corridor_trajectory(
@@ -72,9 +100,10 @@ def main() -> int:
     if args.pipeline == "system":
         from intensity_slam_tpu.pipeline.system import SlamSystem
         sys_ = SlamSystem(cfg)
+        infos = []
         t0 = time.perf_counter()
         for k in range(T):
-            sys_.process(xyz[k], inten[k], float(times[k]))
+            infos.append(sys_.process(xyz[k], inten[k], float(times[k])))
         dt = time.perf_counter() - t0
         traj = jnp.asarray(sys_.trajectory())
         print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
@@ -82,6 +111,42 @@ def main() -> int:
               f"  loops: {sys_.loops}")
         print(f"final pose t: {np.asarray(traj[-1]).round(3).tolist()}")
         est_t = traj
+        if args.out or args.benchmark:
+            import json
+
+            tf = sorted(i["t_front"] for i in infos[2:])
+            tb = sorted(i["t_backend"] for i in infos if "t_backend" in i)
+            gt_np = np.asarray(gt_t) if gt_t is not None else None
+            est_np = np.asarray(est_t)
+            results = {
+                "sequence": ("circuit" if args.benchmark else
+                             (args.npz or "corridor")),
+                "frames": T,
+                "path_length_m": (float(np.linalg.norm(
+                    np.diff(gt_np, axis=0), axis=-1).sum())
+                    if gt_np is not None else None),
+                "ate_rmse_m": (float(odometry.ate_rmse(est_t, gt_t))
+                               if gt_t is not None else None),
+                "end_error_m": (float(np.linalg.norm(est_np[-1] - gt_np[-1]))
+                                if gt_np is not None else None),
+                "skip_frames": sys_.num_skips,
+                "skip_rate": sys_.num_skips / T,
+                "keyframes": len(sys_.kf_map_pose),
+                "loop_closures": len(sys_.loops),
+                "loops": [[int(a), int(b), float(f)] for a, b, f in sys_.loops],
+                "scans_per_sec_incl_compile": T / dt,
+                "scans_per_sec_steady": len(infos[T // 4:]) / sum(
+                    i["t_front"] + i.get("t_backend", 0.0)
+                    for i in infos[T // 4:]),
+                "frontend_ms_median": 1e3 * tf[len(tf) // 2],
+                "backend_ms_median": (1e3 * tb[len(tb) // 2] if tb else None),
+                "backend_ms_max": (1e3 * tb[-1] if tb else None),
+                "platform": jax.devices()[0].platform,
+            }
+            out_path = args.out or "RESULTS_benchmark.json"
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+            print(f"results -> {out_path}")
     else:
         runner = slam.run_sequence if args.pipeline == "slam" else odometry.run_sequence
         t0 = time.perf_counter()
