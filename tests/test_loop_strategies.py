@@ -44,8 +44,9 @@ def _cfg(**loop_kw):
 def _run_keyframes(cfg, poses_t, times, key=0):
     state = loop_mod.init_state(cfg)
     kf = jax.random.PRNGKey(key)
-    desc = jnp.zeros((8, 8), jnp.uint32)
-    dv = jnp.zeros((8,), bool)
+    F = cfg.feature.num_features
+    desc = jnp.zeros((F, 8), jnp.uint32)
+    dv = jnp.zeros((F,), bool)
     cloud = _room_cloud(kf)
     mask = jnp.ones(cloud.shape[0], bool)
     step = jax.jit(
