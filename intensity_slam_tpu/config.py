@@ -28,6 +28,9 @@ class SensorConfig:
     range_scale: float = 20.0         # range-image debug gain (CV_8UC1 viz),
     # image_handler.h_ouster:131 — used by tools/visualize.py range dumps
     scan_period: float = 0.1          # ~10 Hz, README.md:153-169
+    undistort: bool = False           # constant-velocity motion undistortion
+    # to scan start (A-LOAM TransformToStart, `laserOdometry.cpp:147-194`;
+    # the reference ships DISTORTION=0, so off by default)
 
     @property
     def num_points(self) -> int:
@@ -209,6 +212,12 @@ class LoopConfig:
     loop_cauchy_c: float = 1.0        # Cauchy robust scale on loop edges
     # (reference wraps loop BetweenFactors in CauchyEstimator(1),
     # `intensity_feature_tracker.cpp:356-363`); <= 0 disables
+    # plausible-drift envelope the Cauchy residual is whitened by: real
+    # odometry drift is bias-dominated, i.e. roughly LINEAR in distance
+    # travelled — translation drift_rate (m/m) and rotation rad/m over the
+    # chain path between the loop endpoints (see posegraph.optimize)
+    loop_drift_rate: float = 0.08
+    loop_drift_rot_rate: float = 0.005
 
 
 @dataclass(frozen=True)

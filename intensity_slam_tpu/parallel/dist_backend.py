@@ -95,13 +95,17 @@ def refine(
                 g, mesh,
                 gn_iters=lc.pgo_gn_iters, cg_iters=pc.pgo_cg_iters,
                 odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
-                loop_cauchy_c=lc.loop_cauchy_c, axis=axis,
+                loop_cauchy_c=lc.loop_cauchy_c,
+                drift_rate=lc.loop_drift_rate,
+                drift_rot_rate=lc.loop_drift_rot_rate, axis=axis,
             )
         else:
             g = posegraph.optimize(
                 g, gn_iters=lc.pgo_gn_iters, cg_iters=pc.pgo_cg_iters,
                 odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
                 loop_cauchy_c=lc.loop_cauchy_c,
+                drift_rate=lc.loop_drift_rate,
+                drift_rot_rate=lc.loop_drift_rot_rate,
             )
     state = state._replace(graph=g)
 

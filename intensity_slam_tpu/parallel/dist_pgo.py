@@ -63,6 +63,7 @@ def shard_graph(g: posegraph.PoseGraph, mesh, axis: str = "data"
         loop_sqrt_info=put_rep(g.loop_sqrt_info),
         loop_valid=put_rep(g.loop_valid),
         num_loops=put_rep(g.num_loops),
+        last_raw=jax.tree.map(put_rep, g.last_raw),
     )
 
 
@@ -107,6 +108,8 @@ def optimize_shmap(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
+    drift_rate: float = 0.08,
+    drift_rot_rate: float = 0.005,
     axis: str = "data",
 ) -> posegraph.PoseGraph:
     """SPMD pose-graph solve: edges sharded over `axis`, poses replicated,
@@ -126,7 +129,7 @@ def optimize_shmap(
 
     def shard_solve(pq, pt, node_valid,
                     oi, oq, ot, omask,
-                    li, lj, lq, lt, lsi, lval):
+                    li, lj, lq, lt, lsi, lval, lenv):
         def retract(poses, x):
             p = Pose(
                 q=se3.quat_normalize(
@@ -142,11 +145,9 @@ def optimize_shmap(
                 rel_l = se3.compose(se3.inverse(Tli), Tlj)
                 r_l = se3.se3_log(
                     se3.compose(se3.inverse(Pose(lq, lt)), rel_l))
-                n_e = jnp.maximum(
-                    jnp.abs(li - lj).astype(jnp.float32), 1.0)
-                s = jnp.sum(
-                    r_l * r_l / (n_e[:, None] * odo_var[None, :]), axis=-1)
-                w_rob = jax.lax.rsqrt(1.0 + s / (loop_cauchy_c ** 2))
+                s = jnp.sum(r_l * r_l / lenv, axis=-1)
+                c2 = loop_cauchy_c ** 2
+                w_rob = jnp.minimum(1.0, 2.0 * c2 / (c2 + s))
                 lsi_eff = lsi * scale * w_rob[:, None]
             else:
                 lsi_eff = lsi * scale
@@ -212,6 +213,22 @@ def optimize_shmap(
             if Ep > E else g.loop_rel.q
         lt = _pad_to(g.loop_rel.t, Ep, 0.0)
         lsi = _pad_to(g.loop_sqrt_info, Ep, 0.0)
+        # plausible-drift Cauchy envelope per loop edge (matches
+        # posegraph.optimize: linear-in-path drift + random-walk floor)
+        idx_k = jnp.arange(K)
+        step_len = jnp.where(
+            g.node_valid & (idx_k >= 1) & (idx_k < g.num_nodes),
+            jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
+        cum_len = jnp.cumsum(step_len)
+        path_e = jnp.maximum(jnp.abs(cum_len[li] - cum_len[lj]), 1.0)
+        n_e = jnp.maximum(jnp.abs(li - lj).astype(jnp.float32), 1.0)
+        drift_var = jnp.concatenate([
+            jnp.broadcast_to((drift_rot_rate * path_e[:, None]) ** 2,
+                             (Ep, 3)),
+            jnp.broadcast_to((drift_rate * path_e[:, None]) ** 2,
+                             (Ep, 3)),
+        ], axis=-1)
+        lenv = n_e[:, None] * odo_var[None, :] + drift_var
 
         solve = jax.shard_map(
             shard_solve,
@@ -219,14 +236,15 @@ def optimize_shmap(
             in_specs=(
                 P(), P(), P(),                 # poses q/t, node_valid (rep)
                 P(axis), P(axis), P(axis), P(axis),   # odo edges
-                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),  # loop
+                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis),                              # loop edges + envelope
             ),
             out_specs=(P(), P()),
         )
         q, t = solve(
             g.poses.q, g.poses.t, g.node_valid,
             oi, oq, ot, omask,
-            li, lj, lq, lt, lsi, lval,
+            li, lj, lq, lt, lsi, lval, lenv,
         )
         return g._replace(poses=Pose(q, t))
 

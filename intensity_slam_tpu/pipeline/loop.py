@@ -184,8 +184,12 @@ def backend_step(
         # timestamp differs by more than min_time_gap (40 s, `:77`); the
         # radius search there is PCL KdTreeFLANN radiusSearch(7 m, `:68`) —
         # here one masked distance argmin over the keyframe positions.
+        # Distances use GRAPH-frame poses on both sides (node k was just
+        # inserted in the corrected frame): after loop corrections the raw
+        # map_pose drifts away from the graph frame.
+        cur_t = state.graph.poses.t[k]
         dpos = jnp.linalg.norm(
-            state.graph.poses.t - map_pose.t[None, :], axis=-1
+            state.graph.poses.t - cur_t[None, :], axis=-1
         )
         eligible = (
             kf_valid
@@ -255,6 +259,8 @@ def backend_step(
             g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
             odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
             loop_cauchy_c=lc.loop_cauchy_c,
+            drift_rate=lc.loop_drift_rate,
+            drift_rot_rate=lc.loop_drift_rot_rate,
         )
         g_out = jax.tree.map(
             lambda a, b: jnp.where(accept, a, b), g2, g

@@ -45,6 +45,11 @@ class PoseGraph(NamedTuple):
     loop_sqrt_info: jax.Array    # (L, 6)
     loop_valid: jax.Array        # (L,) bool
     num_loops: jax.Array         # () int32
+    # raw (drift-frame) map pose of the most recently added node.  Odometry
+    # measurements MUST be differenced in the raw frame: after `optimize`
+    # rewrites `poses`, differencing against an optimized pose would bake
+    # the loop correction into the next edge as if it were motion.
+    last_raw: Pose               # scalar
 
 
 def empty(max_nodes: int, max_loops: int = 256) -> PoseGraph:
@@ -59,24 +64,36 @@ def empty(max_nodes: int, max_loops: int = 256) -> PoseGraph:
         loop_sqrt_info=jnp.zeros((max_loops, 6)),
         loop_valid=jnp.zeros((max_loops,), bool),
         num_loops=jnp.int32(0),
+        last_raw=Pose.identity(),
     )
 
 
 def add_node(g: PoseGraph, map_pose: Pose) -> PoseGraph:
     """Append a keyframe node; the between measurement is the relative map
-    pose to the previous node (`:465-510`)."""
+    pose to the previous node (`:465-510`).
+
+    The measurement is differenced against `last_raw` (the previous node's
+    RAW map pose), never the optimized estimate; the new node's initial
+    estimate chains the measurement onto the previous OPTIMIZED pose, so
+    nodes added after a loop closure start in the corrected frame (the
+    iSAM2 insert semantics, `intensity_feature_tracker.cpp:465-510`)."""
     k = g.num_nodes
-    prev = jax.tree.map(lambda a: a[jnp.maximum(k - 1, 0)], g.poses)
-    rel = se3.compose(se3.inverse(prev), map_pose)
+    rel = se3.compose(se3.inverse(g.last_raw), map_pose)
     rel = jax.tree.map(
         lambda r, i: jnp.where(k > 0, r, i), rel, Pose.identity()
     )
+    prev_est = jax.tree.map(lambda a: a[jnp.maximum(k - 1, 0)], g.poses)
+    est = se3.compose(prev_est, rel)
+    est = jax.tree.map(
+        lambda e, m: jnp.where(k > 0, e, m), est, map_pose
+    )
     set_at = lambda arr, v: arr.at[k].set(v)
     return g._replace(
-        poses=Pose(set_at(g.poses.q, map_pose.q), set_at(g.poses.t, map_pose.t)),
+        poses=Pose(set_at(g.poses.q, est.q), set_at(g.poses.t, est.t)),
         node_valid=g.node_valid.at[k].set(True),
         odo_rel=Pose(set_at(g.odo_rel.q, rel.q), set_at(g.odo_rel.t, rel.t)),
         num_nodes=k + 1,
+        last_raw=map_pose,
     )
 
 
@@ -159,6 +176,17 @@ def compact_half(g: PoseGraph) -> PoseGraph:
     new_lj = lj // 2
     loop_valid = g.loop_valid & (new_li != new_lj)
 
+    # the raw anchor must track the last SURVIVING node: when num_nodes is
+    # even the last node (odd index) is dropped, so roll last_raw back by
+    # the dropped step (raw_{n-2} = raw_{n-1} o Z_{n-1}^-1)
+    last_idx = jnp.maximum(g.num_nodes - 1, 0)
+    last_dropped = (last_idx % 2) == 1
+    last_rel = jax.tree.map(lambda a: a[last_idx], g.odo_rel)
+    rolled = se3.compose(g.last_raw, se3.inverse(last_rel))
+    new_last_raw = jax.tree.map(
+        lambda d, kpt: jnp.where(last_dropped, d, kpt), rolled, g.last_raw
+    )
+
     return PoseGraph(
         poses=poses,
         node_valid=new_valid,
@@ -170,6 +198,7 @@ def compact_half(g: PoseGraph) -> PoseGraph:
         loop_sqrt_info=g.loop_sqrt_info,
         loop_valid=loop_valid,
         num_loops=g.num_loops,
+        last_raw=new_last_raw,
     )
 
 
@@ -197,7 +226,8 @@ def _edge_residuals(g: PoseGraph, poses: Pose, odo_sqrt_info, prior_sqrt_info):
     return jnp.concatenate([r_prior[None, :], r_odo, r_loop], axis=0).reshape(-1)
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "cg_iters", "loop_cauchy_c"))
+@partial(jax.jit, static_argnames=(
+    "gn_iters", "cg_iters", "loop_cauchy_c", "drift_rate", "drift_rot_rate"))
 def optimize(
     g: PoseGraph,
     gn_iters: int = 8,
@@ -205,23 +235,28 @@ def optimize(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
+    drift_rate: float = 0.08,
+    drift_rot_rate: float = 0.005,
 ) -> PoseGraph:
     """Full batched GN solve; returns the graph with updated poses.
 
-    Loop edges carry a Cauchy robust model like the reference's
+    Loop edges carry a robust model serving the reference's
     `CauchyEstimator(1)` wrap on loop BetweenFactors
     (`intensity_feature_tracker.cpp:356-363`): per GN iteration each loop
-    edge's sqrt-information is reweighted by 1/sqrt(1 + s/c^2) (IRLS).
+    edge's sqrt-information is reweighted by the DCS (dynamic covariance
+    scaling, Agarwal et al. 2013) factor min(1, 2c^2/(c^2+s)) (IRLS).
     Redesign note: the reference whitens by the measurement noise; under our
     honest noise model (fitness-scaled loop infos up to 1e4) that would
     punish a high-precision loop for simply OBSERVING real drift.  Here s is
-    the residual whitened by the odometry covariance ACCUMULATED over the
-    chain between the loop endpoints — the marginal covariance of the
-    predicted relative pose, i.e. the scale on which consistency is actually
-    measurable.  A genuine loop (residual within the plausible-drift
-    envelope) starts with enough weight that IRLS converges to full
-    correction; a false positive (residual far outside it) is crushed from
-    the first iteration, before it can reshape the graph.
+    the residual whitened by a PLAUSIBLE-DRIFT envelope over the chain
+    between the loop endpoints: real odometry drift is dominated by slowly
+    varying bias, so it accumulates roughly LINEARLY with distance travelled
+    (`drift_rate` per meter translation, `drift_rot_rate` rad/m rotation),
+    with the random-walk odometry covariance (var * steps) as a floor.  A
+    genuine loop — residual within a few drift-envelopes — keeps enough
+    weight that IRLS converges to full correction; a false positive
+    (residual far outside the envelope) is crushed from the first
+    iteration, before it can reshape the graph.
     loop_cauchy_c <= 0 disables (pure quadratic).
     """
     K = g.node_valid.shape[0]
@@ -233,6 +268,27 @@ def optimize(
     odo_si, pr_si = odo_si * scale, pr_si * scale
     base_loop_si = g.loop_sqrt_info * scale
 
+    # plausible-drift envelope per loop edge (static across GN iterations:
+    # it depends only on the measurements, not the iterate)
+    idx_n = jnp.arange(K)
+    step_len = jnp.where(
+        g.node_valid & (idx_n >= 1) & (idx_n < g.num_nodes),
+        jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0,
+    )
+    cum_len = jnp.cumsum(step_len)
+    path_e = jnp.maximum(
+        jnp.abs(cum_len[g.loop_i] - cum_len[g.loop_j]), 1.0
+    )
+    n_e = jnp.maximum(jnp.abs(g.loop_i - g.loop_j).astype(jnp.float32), 1.0)
+    odo_var = jnp.asarray(odo_noise, jnp.float32)
+    drift_var = jnp.concatenate([
+        jnp.broadcast_to((drift_rot_rate * path_e[:, None]) ** 2,
+                         (path_e.shape[0], 3)),
+        jnp.broadcast_to((drift_rate * path_e[:, None]) ** 2,
+                         (path_e.shape[0], 3)),
+    ], axis=-1)
+    env_var = n_e[:, None] * odo_var[None, :] + drift_var
+
     def gn_step(poses, _):
         # IRLS Cauchy weight per loop edge from the CURRENT iterate's
         # whitened residual (computed with the unrobustified information)
@@ -241,16 +297,14 @@ def optimize(
             Tlj = jax.tree.map(lambda a: a[g.loop_j], poses)
             rel_l = se3.compose(se3.inverse(Tli), Tlj)
             r_l = se3.se3_log(se3.compose(se3.inverse(g.loop_rel), rel_l))
-            # chain-accumulated odometry covariance between the endpoints:
-            # var_axis * |i - j| (clamped >= 1 step)
-            n_e = jnp.maximum(
-                jnp.abs(g.loop_i - g.loop_j).astype(jnp.float32), 1.0
-            )
-            odo_var = jnp.asarray(odo_noise, jnp.float32)
-            s = jnp.sum(
-                r_l * r_l / (n_e[:, None] * odo_var[None, :]), axis=-1
-            )
-            w_rob = jax.lax.rsqrt(1.0 + s / (loop_cauchy_c ** 2))
+            s = jnp.sum(r_l * r_l / env_var, axis=-1)
+            # DCS (dynamic covariance scaling) weight: min(1, 2c^2/(c^2+s)).
+            # Within the envelope (s <= c^2) the loop keeps FULL weight;
+            # outside, the effective information decays as 1/s^2 — fast
+            # enough to reject gross outliers even against a much softer
+            # odometry chain (Cauchy's 1/s decay is not).
+            c2 = loop_cauchy_c ** 2
+            w_rob = jnp.minimum(1.0, 2.0 * c2 / (c2 + s))
             loop_si = base_loop_si * w_rob[:, None]
         else:
             loop_si = base_loop_si

@@ -38,6 +38,8 @@ class SlamState(NamedTuple):
     mapping: mapping.MappingState
     merged_pose: Pose           # mux-integrated odometry (odom frame)
     rng: jax.Array
+    last_delta: Pose            # previous frame's mux delta (constant-
+    # velocity model for motion undistortion when sensor.undistort)
 
 
 class SlamOutput(NamedTuple):
@@ -66,7 +68,24 @@ def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
         mapping=mapping.init_state(cfg),
         merged_pose=Pose.identity(),
         rng=jax.random.PRNGKey(seed),
+        last_delta=Pose.identity(),
     )
+
+
+def undistort_scan(xyz: jax.Array, delta: Pose, cfg: SlamConfig) -> jax.Array:
+    """Move every point to the scan-START frame under a constant-velocity
+    model (A-LOAM TransformToStart, `laserOdometry.cpp:147-194`): a point
+    fired at intra-scan fraction a is corrected by delta^a — slerp on the
+    rotation, linear on the translation.  The fraction is the column index
+    over the width (Ouster columns are firing instants).  One batched slerp
+    + rotate over all H*W points; the reference's DISTORTION flag ships 0,
+    so this is config-gated (`sensor.undistort`)."""
+    sc = cfg.sensor
+    col = (jnp.arange(xyz.shape[0]) % sc.image_width).astype(jnp.float32)
+    alpha = (col / sc.image_width)[:, None]
+    ident = jnp.array([1.0, 0.0, 0.0, 0.0], xyz.dtype)
+    q_a = se3.slerp(ident, delta.q, alpha)
+    return se3.quat_rotate(q_a, xyz) + alpha * delta.t
 
 
 def slam_step(
@@ -78,6 +97,8 @@ def slam_step(
     cfg: SlamConfig,
     fallback_delta: Pose | None = None,
 ) -> tuple[SlamState, SlamOutput]:
+    if cfg.sensor.undistort:
+        xyz = undistort_scan(xyz, state.last_delta, cfg)
     scan = projection.project_organized(xyz, inten, cfg.sensor)
 
     # --- intensity odometry (CS-1)
@@ -119,7 +140,7 @@ def slam_step(
 
     new_state = SlamState(
         odo=odo_state, geo=geo_state, mapping=map_state,
-        merged_pose=merged, rng=rng,
+        merged_pose=merged, rng=rng, last_delta=delta,
     )
     out = SlamOutput(
         pose=map_out.pose,

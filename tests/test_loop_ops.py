@@ -204,3 +204,34 @@ def test_posegraph_cauchy_keeps_true_loop():
                                           jnp.array([9.0, 0.0, 0.0])), 1e-4))
     g2 = posegraph.optimize(g, gn_iters=8, cg_iters=64)
     assert abs(float(g2.poses.t[9, 0]) - 9.0) < 0.05
+
+
+def test_posegraph_odo_edges_raw_after_optimize():
+    """Regression: odometry measurements must be differenced in the RAW
+    odometry frame, and new nodes must start in the CORRECTED frame.
+
+    After a loop closure rewrites the graph poses, appending new keyframes
+    must (a) keep the between measurements equal to the raw map-pose
+    increments — differencing against an optimized pose would bake the loop
+    correction into the edge as fake motion — and (b) initialize the new
+    node chained onto the previous node's optimized estimate, so the
+    exported trajectory has no drift-frame jump at the last loop closure."""
+    drift = [0.05, 0.0, 0.0]
+    g = _chain_graph(64, 10, drift,
+                     loop=(0, 9, se3.Pose(jnp.array([1.0, 0, 0, 0]),
+                                          jnp.array([9.0, 0.0, 0.0])), 1e-4))
+    g = posegraph.optimize(g, gn_iters=8, cg_iters=64)
+    # continue the trajectory in the raw (drifting) odometry frame
+    raw = se3.Pose(jnp.array([1.0, 0, 0, 0]),
+                   jnp.array([9 * 1.05, 0.0, 0.0]))
+    meas_rel = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([1.05, 0, 0]))
+    for _ in range(3):
+        raw = se3.compose(raw, meas_rel)
+        g = posegraph.add_node(g, raw)
+    # (a) raw-frame measurements: each new edge is exactly the raw increment
+    np.testing.assert_allclose(np.asarray(g.odo_rel.t[10:13, 0]),
+                               1.05, atol=1e-4)
+    # (b) corrected-frame init: node 12 continues from the optimized node 9
+    # (~9.0 m), not from the raw 9.45 m
+    assert abs(float(g.poses.t[12, 0]) - (9.0 + 3 * 1.05)) < 0.1, (
+        float(g.poses.t[12, 0]))

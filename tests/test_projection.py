@@ -86,3 +86,39 @@ def test_render_sequence_batch():
     xyz, inten = synthetic.render_sequence(poses, world, CFG.sensor)
     assert xyz.shape == (3, CFG.sensor.num_points, 3)
     assert bool(jnp.all(jnp.isfinite(xyz)))
+
+
+def test_undistort_scan_linear_translation():
+    """Constant-velocity undistortion (A-LOAM TransformToStart,
+    `laserOdometry.cpp:147-194`): under a pure-translation delta each point
+    moves by (col/W) * t."""
+    import dataclasses
+
+    from intensity_slam_tpu.pipeline import slam
+    from intensity_slam_tpu.utils.se3 import Pose
+
+    sc = CFG.sensor
+    N = sc.num_points
+    xyz = jnp.tile(jnp.array([5.0, 1.0, -0.5]), (N, 1))
+    delta = Pose(jnp.array([1.0, 0.0, 0.0, 0.0]), jnp.array([0.4, 0.0, 0.0]))
+    out = slam.undistort_scan(xyz, delta, CFG)
+    col = (jnp.arange(N) % sc.image_width).astype(jnp.float32)
+    expect_x = 5.0 + 0.4 * col / sc.image_width
+    assert float(jnp.max(jnp.abs(out[:, 0] - expect_x))) < 1e-5
+    assert float(jnp.max(jnp.abs(out[:, 1] - 1.0))) < 1e-5
+
+
+def test_slam_step_undistort_enabled_runs():
+    import dataclasses
+
+    from intensity_slam_tpu.pipeline import slam
+
+    cfg = dataclasses.replace(
+        CFG, sensor=dataclasses.replace(CFG.sensor, undistort=True))
+    xyz, inten = _scan()
+    mask = projection.detection_mask(cfg.sensor)
+    st = slam.init_state(cfg)
+    step = jax.jit(lambda s, x, i, t: slam.slam_step(s, x, i, t, mask, cfg))
+    for k in range(3):
+        st, out = step(st, xyz, inten, jnp.float32(0.1 * k))
+    assert bool(jnp.all(jnp.isfinite(out.pose.t)))

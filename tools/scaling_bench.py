@@ -54,6 +54,8 @@ def main():
     ap.add_argument("--landmarks", type=int, default=4096)
     ap.add_argument("--obs-per-pose", type=int, default=2048)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--out", type=str, default=None,
+                    help="write the sweep as a JSON artifact")
     args = ap.parse_args()
 
     if jax.devices()[0].platform == "cpu":
@@ -80,6 +82,27 @@ def main():
         eff = results[min(results)] / dt / (n / min(results)) * 100 if results else 100
         print(f"devices={n}: {dt*1e3:.1f} ms/solve  ({M/dt/1e6:.2f} Mobs/s)  "
               f"scaling-eff vs n={min(results)}: {eff:.0f}%")
+
+    if args.out:
+        import json
+
+        base = min(results)
+        with open(args.out, "w") as f:
+            json.dump({
+                "platform": jax.devices()[0].platform,
+                "virtual_mesh": jax.devices()[0].platform == "cpu",
+                "note": ("virtual CPU mesh shares physical cores: validates "
+                         "sharded correctness at each device count, NOT "
+                         "scaling efficiency" if jax.devices()[0].platform
+                         == "cpu" else "real devices"),
+                "poses": args.poses, "landmarks": args.landmarks,
+                "observations": M,
+                "ms_per_solve": {str(n): dt * 1e3 for n, dt in results.items()},
+                "scaling_eff_pct": {
+                    str(n): 100.0 * results[base] / dt / (n / base)
+                    for n, dt in results.items()},
+            }, f, indent=1)
+        print(f"results -> {args.out}")
 
 
 if __name__ == "__main__":
