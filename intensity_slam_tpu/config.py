@@ -218,6 +218,12 @@ class LoopConfig:
     # chain path between the loop endpoints (see posegraph.optimize)
     loop_drift_rate: float = 0.08
     loop_drift_rot_rate: float = 0.005
+    # chi^2 acceptance gate on a verified loop's implied correction against
+    # the drift envelope: ScanContext matches between self-similar but
+    # DIFFERENT places align geometrically (pass the fitness gate) yet
+    # imply corrections odometry drift cannot explain — reject those before
+    # they enter the edge table (pipeline.loop verify_and_close)
+    loop_gate_chi2: float = 25.0
 
 
 @dataclass(frozen=True)

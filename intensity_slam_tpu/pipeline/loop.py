@@ -211,7 +211,15 @@ def backend_step(
         g = st.graph
         T_cur = jax.tree.map(lambda a: a[k], g.poses)
         T_loop = jax.tree.map(lambda a: a[loop_idx], g.poses)
-        # submap: loop keyframe +/- submap_window in map frame (`:174-193`)
+        # submap: loop keyframe +/- submap_window (`:174-193`), assembled in
+        # the LOOP keyframe's LOCAL frame.  Redesign vs the reference's
+        # map-frame ICP (`:249`): by loop time the current pose carries the
+        # very drift the loop is supposed to measure — map-frame ICP starts
+        # a full drift-length off and slides into local minima, returning a
+        # measurement that merely restates the drifted estimate (zero
+        # information).  Aligning sensor-local clouds with the ScanContext
+        # yaw as the initial guess starts ICP from the (small) true
+        # revisit offset instead.
         P = lc.keyframe_cloud_size
         win = jnp.arange(-lc.submap_window, lc.submap_window + 1)
         idxs = jnp.clip(loop_idx + win, 0, jnp.maximum(st.num_kf - 1, 0))
@@ -219,41 +227,71 @@ def backend_step(
         for wi in range(win.shape[0]):
             i = idxs[wi]
             Ti = jax.tree.map(lambda a: a[i], g.poses)
-            tgt_parts.append(se3.transform_points(Ti, st.kf_cloud[i]))
+            rel_i = se3.compose(se3.inverse(T_loop), Ti)
+            tgt_parts.append(se3.transform_points(rel_i, st.kf_cloud[i]))
             tgt_masks.append(st.kf_cloud_mask[i])
         tgt = jnp.concatenate(tgt_parts)
         tgt_mask = jnp.concatenate(tgt_masks)
-        # source: current cloud in map frame via its (pre-correction) pose,
-        # ICP init = identity in the map frame (`:249`) — the odometry
-        # already encodes orientation, so the ScanContext yaw is NOT
-        # re-applied (it would double-count the turn); it only served
-        # candidate ranking
-        src_map = se3.transform_points(T_cur, st.kf_cloud[k])
+        # source: current cloud in its own sensor frame; ICP solves
+        # M: cur-sensor -> loop-local, init = Rz(scan-context yaw) when the
+        # SC channel produced the candidate (identity for BoW/radius)
+        src = st.kf_cloud[k]
         src_mask = st.kf_cloud_mask[k]
+        half = 0.5 * jnp.where(sc_found, yaw if lc.use_scancontext else 0.0,
+                               0.0)
+        init = Pose(
+            jnp.stack([jnp.cos(half), jnp.zeros_like(half),
+                       jnp.zeros_like(half), jnp.sin(half)]),
+            jnp.zeros(3),
+        )
         if lc.use_crop:
-            # CropBox(+/-CROP_SIZE) applied to BOTH map-frame clouds — an
-            # axis-aligned box around the MAP ORIGIN, exactly as the
-            # reference configures it (`intensity_feature_tracker.cpp:
-            # 228-230,266-283`)
+            # CropBox(+/-CROP_SIZE) around the revisited place — the loop
+            # keyframe origin in these local frames (the reference crops
+            # around the robot, `intensity_feature_tracker.cpp:228-230,
+            # 266-283`)
             in_box = lambda p: jnp.all(jnp.abs(p) <= lc.crop_size, axis=-1)
-            src_mask = src_mask & in_box(src_map)
+            src_mask = src_mask & in_box(src)
             tgt_mask = tgt_mask & in_box(tgt)
         res = icp.icp_align(
-            src_map, src_mask, tgt, tgt_mask, Pose.identity(),
+            src, src_mask, tgt, tgt_mask, init,
             iters=lc.icp_iters, max_corr_dist=lc.icp_max_corr,
         )
-        # accept on fitness + coverage; NOT on the step-norm convergence
-        # flag — correspondence trimming keeps the last update jittering at
-        # ~1e-3 on TPU floats, and PCL's hasConverged() is likewise true
-        # after any normally-terminated align()
+        # between measurement: M maps cur-sensor to loop-local, so
+        # Z_{cur->loop} = M^-1 (`:330-363` semantics)
+        rel = se3.inverse(res.pose)
+        # consistency gate: the implied correction (measurement vs current
+        # graph estimate) whitened by the plausible-drift envelope (same
+        # linear-in-path model as posegraph.optimize).  A ScanContext match
+        # between two self-similar but DIFFERENT places passes the fitness
+        # gate (the local geometry really does align); it cannot pass this
+        # one, because the implied correction is far outside what odometry
+        # drift can explain.
+        rel_est = se3.compose(se3.inverse(T_cur), T_loop)
+        r_gate = se3.se3_log(se3.compose(se3.inverse(rel), rel_est))
+        idx_n = jnp.arange(lc.max_keyframes)
+        step_len = jnp.where(
+            (idx_n >= 1) & (idx_n < g.num_nodes),
+            jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0,
+        )
+        cum_len = jnp.cumsum(step_len)
+        path_e = jnp.maximum(jnp.abs(cum_len[k] - cum_len[loop_idx]), 1.0)
+        n_e = jnp.maximum(jnp.abs(k - loop_idx).astype(jnp.float32), 1.0)
+        odo_var = jnp.asarray(lc.odom_noise, jnp.float32)
+        env = n_e * odo_var + jnp.concatenate([
+            jnp.full((3,), (lc.loop_drift_rot_rate * path_e) ** 2),
+            jnp.full((3,), (lc.loop_drift_rate * path_e) ** 2),
+        ])
+        chi2 = jnp.sum(r_gate * r_gate / env)
+        # accept on fitness + coverage + drift consistency; NOT on the
+        # step-norm convergence flag — correspondence trimming keeps the
+        # last update jittering at ~1e-3 on TPU floats, and PCL's
+        # hasConverged() is likewise true after any normally-terminated
+        # align()
         accept = (
             (res.fitness <= lc.icp_fitness_score)
             & (res.inlier_frac >= lc.icp_min_inlier_frac)
+            & (chi2 <= lc.loop_gate_chi2)
         )
-        # corrected current pose and the between measurement
-        # Z_{cur->loop} = T_cur_corr^-1 o T_loop (`:330-363`)
-        T_cur_corr = se3.compose(res.pose, T_cur)
-        rel = se3.compose(se3.inverse(T_cur_corr), T_loop)
         g2 = posegraph.add_loop(g, k, loop_idx, rel, res.fitness, lc)
         g2 = posegraph.optimize(
             g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,

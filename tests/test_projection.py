@@ -92,8 +92,6 @@ def test_undistort_scan_linear_translation():
     """Constant-velocity undistortion (A-LOAM TransformToStart,
     `laserOdometry.cpp:147-194`): under a pure-translation delta each point
     moves by (col/W) * t."""
-    import dataclasses
-
     from intensity_slam_tpu.pipeline import slam
     from intensity_slam_tpu.utils.se3 import Pose
 
