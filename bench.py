@@ -1,17 +1,20 @@
 #!/usr/bin/env python
-"""Benchmark: intensity-odometry throughput on one TPU chip.
+"""Benchmark: full-system SLAM throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 Baseline = the reference system's real-time claim: the full C++ pipeline
 keeps up with the 10 Hz Ouster OS0-64 stream (64x1024 scans) on a 16-thread
 CPU (README.md:2,13-20, config/spot.yaml:18-19).  vs_baseline is therefore
 (scans/sec) / 10.
 
-Methodology: a synthetic corridor sequence is pre-rendered on device, then
-the streaming full-pipeline step (project -> detect/describe -> match ->
-robust GN odometry solve -> ground RANSAC -> scan-to-map 5-NN + plane-fit
-GN refine -> map insert) is timed frame by frame — the sequential path a
-live sensor would exercise, excluding rendering.
+The HEADLINE value is the FULL system on the multi-loop circuit world: the
+fused per-frame step (project -> detect/describe -> match -> robust GN
+odometry -> ground RANSAC -> scan-to-map 5-NN + plane-fit GN -> map insert
+-> in-graph keyframe back-end: ScanContext/BoW loop detect, ICP verify,
+batched PGO, live correction feedback), driven exactly as a live sensor
+would: one async dispatch per frame, keyframe work gated on device.
+`front_end_scans_per_sec` (the old r1/r2 headline: odometry+mapping only,
+straight corridor) is reported alongside for comparability.
 """
 
 import json
@@ -28,8 +31,7 @@ from intensity_slam_tpu.pipeline import slam
 from intensity_slam_tpu.utils import se3
 
 
-def main() -> None:
-    cfg = config.SlamConfig()
+def bench_frontend(cfg) -> float:
     world = synthetic.corridor_world()
     frames = 64
     poses = synthetic.corridor_trajectory(frames, speed=0.35, yaw_rate=0.005)
@@ -47,7 +49,6 @@ def main() -> None:
 
     times = jnp.arange(frames, dtype=jnp.float32) * cfg.sensor.scan_period
     state = slam.init_state(cfg)
-    # warmup/compile
     state, out = step(state, xyz[0], inten[0], times[0])
     jax.block_until_ready(out.pose.t)
 
@@ -55,14 +56,65 @@ def main() -> None:
     for k in range(1, frames):
         state, out = step(state, xyz[k], inten[k], times[k])
     jax.block_until_ready(out.pose.t)
-    dt = time.perf_counter() - t0
-    sps = (frames - 1) / dt
+    return (frames - 1) / (time.perf_counter() - t0)
 
+
+def bench_full_system(cfg) -> dict:
+    """Circuit world (multi-loop, clutter, textureless span), full
+    SlamSystem with loop closure + PGO + live feedback ON."""
+    from intensity_slam_tpu.pipeline.system import SlamSystem
+
+    frames = 256
+    world = synthetic.circuit_world()
+    poses = synthetic.circuit_trajectory(frames, speed=0.4)
+    render = jax.jit(lambda q, t: synthetic.render_sequence(
+        se3.Pose(q, t), world, cfg.sensor))
+    import numpy as np
+    chunks = []
+    CH = 32
+    for s in range(0, frames, CH):
+        cx, ci = render(poses.q[s:s + CH], poses.t[s:s + CH])
+        chunks.append((np.asarray(cx), np.asarray(ci)))
+    xyz = jnp.asarray(np.concatenate([c[0] for c in chunks]))
+    inten = jnp.asarray(np.concatenate([c[1] for c in chunks]))
+    del chunks
+
+    sys_ = SlamSystem(cfg)
+    t0 = time.perf_counter()
+    info = sys_.process(xyz[0], inten[0], 0.0)
+    jax.block_until_ready(info.num_kf)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for k in range(1, frames):
+        info = sys_.process(xyz[k], inten[k], 0.1 * k)
+    jax.block_until_ready(info.num_kf)
+    dt = time.perf_counter() - t0
+    return {
+        "full_system_scans_per_sec": (frames - 1) / dt,
+        "full_system_frames": frames,
+        "full_system_keyframes": sys_.num_keyframes,
+        "full_system_loops": len(sys_.loops),
+        "compile_s": compile_s,
+    }
+
+
+def main() -> None:
+    cfg = config.SlamConfig()
+    sps_front = bench_frontend(cfg)
+    full = bench_full_system(cfg)
+    sps_full = full["full_system_scans_per_sec"]
     print(json.dumps({
-        "metric": "slam_scans_per_sec",
-        "value": round(sps, 2),
-        "unit": "scans/s (full pipeline: odometry+ground+scan-to-map, 64x1024)",
-        "vs_baseline": round(sps / 10.0, 2),
+        "metric": "slam_scans_per_sec_full_system",
+        "value": round(sps_full, 2),
+        "unit": "scans/s (fused full system incl. loop closure + PGO, "
+                "64x1024, circuit world)",
+        "vs_baseline": round(sps_full / 10.0, 2),
+        "front_end_scans_per_sec": round(sps_front, 2),
+        "front_end_vs_baseline": round(sps_front / 10.0, 2),
+        "keyframes": full["full_system_keyframes"],
+        "loop_closures": full["full_system_loops"],
+        "compile_s": round(full["compile_s"], 1),
     }))
 
 

@@ -55,8 +55,10 @@ class FeatureConfig:
 
     num_features: int = 1024          # NUM_ORB_FEATURES=1000, spot.yaml:14 (padded to 2^k)
     detect_multiplier: int = 2        # failure re-detect uses 2x features, intensity_feature_tracker.cpp:652-668
-    patch_size: int = 15              # descriptor patch radius support
-    descriptor_bits: int = 256        # ORB-compatible 256-bit binary descriptor
+    # (the BRIEF pattern geometry — 256 bits over a 31x13 patch — is a
+    # module-level compile-time constant of ops.features (_PATTERN_BITS,
+    # _PATCH_X/_PATCH_Y): the dense bit-plane descriptor is built from
+    # shifted image differences whose offsets must be Python ints)
     nms_radius: int = 2               # non-max suppression radius on score map
     match_keep_frac: float = 0.3      # keep top 30% matches, intensity_feature_tracker.cpp:640-646
     match_keep_frac_retry: float = 0.2  # 20% on the re-detect path, :684-689
@@ -99,7 +101,6 @@ class GeometricConfig:
     dist_sq_threshold: float = 25.0   # laserOdometry.cpp:89
     odom_outer_iters: int = 2         # laserOdometry.cpp:417
     odom_gn_iters: int = 4            # Ceres max_num_iterations=4, laserOdometry.cpp:706
-    max_corner_points: int = 256      # fixed-capacity (2*6*64=768 sharp upper bound; less_sharp 20*6*64)
     max_surf_points: int = 2048
 
 
@@ -151,6 +152,13 @@ class MappingConfig:
     # (roll, pitch, yaw, x, y, z): weak where the ground map observes
     # strongly (roll/pitch/z), strong where it observes nothing (x/y/yaw)
     prior_sqrt_info: tuple = (5.0, 5.0, 100.0, 50.0, 50.0, 2.0)
+    # on an accepted loop closure, rebuild the ground/corner maps from the
+    # per-keyframe downsampled clouds at the OPTIMIZED graph poses (one
+    # batched transform + scatter pass).  The reference never corrects its
+    # ikd-tree map after a loop — lap-2 geometry keeps being inserted in the
+    # drifted frame, smearing the very map the scan-to-map step matches
+    # against; a device-resident map makes the full rebuild a few ms.
+    rebuild_on_loop: bool = True
 
 
 @dataclass(frozen=True)
@@ -180,6 +188,13 @@ class LoopConfig:
     # (The reference's `skiped_frames` yaml param is read but never used,
     # `loop_closure_handler.cpp:133-139` — omitted here.)
     min_loop_search_gap: int = 20     # spot.yaml:39
+    # cooldown after an ACCEPTED loop: skip detection for this many
+    # keyframes.  The reference throttles implicitly via its 10 Hz
+    # loop-thread cadence + MIN_LOOP_SEARCH_GAP; without a cooldown every
+    # keyframe along a revisited stretch re-closes against the same place,
+    # each paying a full PGO solve and stacking near-duplicate edges (the r2
+    # circuit accepted 25 loops for ~2 physical revisit events).
+    loop_cooldown_kf: int = 5
     submap_window: int = 1            # loop keyframe ±1, intensity_feature_tracker.cpp:175
     max_keyframes: int = 1024         # fixed-capacity keyframe store
     keyframe_cloud_size: int = 2048   # subsampled points stored per keyframe
@@ -238,6 +253,12 @@ class ParallelConfig:
     ba_gn_iters: int = 5              # Gauss-Newton iterations in dist-BA
     ba_cg_iters: int = 16             # CG iterations per Schur solve
     pgo_cg_iters: int = 64            # CG iterations in the sharded PGO
+    # online scale-out: every N keyframes the live system hands its
+    # BackendState to `dist_backend.refine` on the session mesh (sharded
+    # BA + PGO) and applies the refined poses back (0 = off).  The host
+    # triggers it; the refined graph re-enters the device state through
+    # `pipeline.fused.adopt_graph`.
+    refine_every_kf: int = 0
 
 
 @dataclass(frozen=True)
@@ -250,6 +271,11 @@ class SlamConfig:
     mapping: MappingConfig = field(default_factory=MappingConfig)
     loop: LoopConfig = field(default_factory=LoopConfig)
     parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    # capacity of the device-resident per-frame trajectory log (ring buffer
+    # inside the fused step; 8192 frames = ~13 min at 10 Hz).  The log is
+    # what keeps the hot loop free of per-frame host readbacks: poses are
+    # exported once at the end (or periodically) instead of every frame.
+    log_capacity: int = 8192
 
     def replace(self, **kw) -> "SlamConfig":
         return dataclasses.replace(self, **kw)

@@ -34,6 +34,28 @@ class World(NamedTuple):
     # Zero-size arrays = no zones.
     flat_centers: jax.Array = jnp.zeros((0, 3), jnp.float32)
     flat_halves: jax.Array = jnp.zeros((0, 3), jnp.float32)
+    # DYNAMIC boxes (moving objects): centers at t=0, half-extents, and
+    # constant world-frame velocities.  Rendered at center + v * time, so a
+    # walking person / cart sweeps through consecutive scans — geometry the
+    # static-world assumption of every SLAM stage must shrug off.
+    dyn_centers: jax.Array = jnp.zeros((0, 3), jnp.float32)
+    dyn_halves: jax.Array = jnp.zeros((0, 3), jnp.float32)
+    dyn_vel: jax.Array = jnp.zeros((0, 3), jnp.float32)
+
+
+class SensorNoise(NamedTuple):
+    """Stochastic sensor model (the gap between raycasts and a real Ouster
+    recording, `README.md:152-169`): per-beam range noise, multiplicative
+    intensity speckle, and random beam dropout.  All applied per frame from
+    a PRNG key; zero-valued fields disable a term."""
+
+    range_sigma: float = 0.03         # m, 1-sigma radial noise (OS0 ~2-5 cm)
+    intensity_speckle: float = 0.10   # lognormal sd of the return-strength
+    # multiplier (surface micro-structure + photon noise)
+    dropout_rate: float = 0.02        # per-beam probability of no return
+
+
+DEFAULT_NOISE = SensorNoise()
 
 
 def corridor_world() -> World:
@@ -103,32 +125,73 @@ def _intensity_texture(p: jax.Array, normal_id: jax.Array) -> jax.Array:
 
 
 def render_scan(pose: se3.Pose, world: World, cfg: SensorConfig,
-                max_range: float = 120.0) -> tuple[jax.Array, jax.Array]:
-    """Render one organized scan from `pose` (sensor->world).
+                max_range: float = 120.0,
+                delta: se3.Pose | None = None,
+                frame_time: jax.Array | float = 0.0,
+                noise: SensorNoise | None = None,
+                key: jax.Array | None = None,
+                return_world: bool = False
+                ) -> tuple[jax.Array, ...]:
+    """Render one organized scan from `pose` (sensor->world at SCAN START).
 
     Returns (xyz_sensor (H*W, 3), intensity (H*W,)) — points in the SENSOR
     frame, row-major, exactly the layout `project_organized` expects.
     Points with no hit (or beyond max_range) are zeroed (range 0), matching
     the reference's invalid-point convention.
+
+    Realism extensions (all optional, default = the ideal raycaster):
+    - `delta`: the sensor's motion over ONE scan period (scan-start ->
+      scan-end, sensor frame).  Column c fires at intra-scan fraction
+      c/W, so its rays originate from pose o delta^(c/W) — but the
+      returned point is still r * dir in the COLUMN'S OWN sensor frame
+      (a real driver assembles packets without motion compensation).
+      This produces the true rolling-shutter distortion the
+      `sensor.undistort` path (`laserOdometry.cpp:147-194` model) corrects.
+    - `frame_time` + `world.dyn_*`: dynamic boxes rendered at
+      center + v * frame_time.
+    - `noise` + `key`: per-beam range noise, intensity speckle, dropout
+      (SensorNoise).
     """
     H, W = cfg.image_height, cfg.image_width
     dirs_s = _ray_dirs(cfg)                                  # (H, W, 3)
-    R = se3.quat_to_mat(pose.q)
-    dirs_w = jnp.einsum("ij,hwj->hwi", R, dirs_s)
-    origin = pose.t                                          # (3,)
+    if delta is not None:
+        # per-column firing pose: pose o delta^(c/W)
+        alpha = (jnp.arange(W, dtype=jnp.float32) / W)[:, None]
+        ident = jnp.array([1.0, 0.0, 0.0, 0.0], jnp.float32)
+        q_c = se3.quat_normalize(
+            se3.quat_mul(pose.q[None, :], se3.slerp(ident, delta.q, alpha)))
+        t_c = pose.t[None, :] + se3.quat_rotate(
+            pose.q[None, :], alpha * delta.t[None, :])       # (W, 3)
+        R_c = se3.quat_to_mat(q_c)                           # (W, 3, 3)
+        dirs_w = jnp.einsum("wij,hwj->hwi", R_c, dirs_s)
+        origin = jnp.broadcast_to(t_c[None, :, :], (H, W, 3))
+    else:
+        R = se3.quat_to_mat(pose.q)
+        dirs_w = jnp.einsum("ij,hwj->hwi", R, dirs_s)
+        origin = jnp.broadcast_to(pose.t[None, None, :], (H, W, 3))
 
     big = jnp.float32(1e9)
 
     # ground plane z = ground_z
     dz = dirs_w[..., 2]
-    t_g = (world.ground_z - origin[2]) / jnp.where(jnp.abs(dz) < 1e-6, 1e-6, dz)
+    t_g = (world.ground_z - origin[..., 2]) / jnp.where(
+        jnp.abs(dz) < 1e-6, 1e-6, dz)
     t_ground = jnp.where((t_g > 0.05) & (dz < 0), t_g, big)
 
-    # axis-aligned boxes, slab method, vectorized over boxes
-    o = origin[None, None, None, :]                          # (1,1,1,3)
+    # axis-aligned boxes, slab method, vectorized over boxes (static +
+    # time-advected dynamic)
+    centers = world.box_centers
+    halves = world.box_halves
+    n_dyn = world.dyn_centers.shape[0]
+    if n_dyn > 0:
+        t_now = jnp.asarray(frame_time, jnp.float32)
+        centers = jnp.concatenate(
+            [centers, world.dyn_centers + world.dyn_vel * t_now])
+        halves = jnp.concatenate([halves, world.dyn_halves])
+    o = origin[:, :, None, :]                                # (H,W,1,3)
     d = dirs_w[:, :, None, :]                                # (H, W, 1, 3)
-    c = world.box_centers[None, None, :, :]
-    h = world.box_halves[None, None, :, :]
+    c = centers[None, None, :, :]
+    h = halves[None, None, :, :]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-6, 1e-6, d)
     t1 = (c - h - o) * inv
     t2 = (c + h - o) * inv
@@ -143,7 +206,7 @@ def render_scan(pose: se3.Pose, world: World, cfg: SensorConfig,
     surf_id = jnp.where(t_box_best < t_ground, box_id + 1, 0)
     valid = t_best < jnp.minimum(max_range, big * 0.5)
 
-    p_world = origin[None, None, :] + t_best[..., None] * dirs_w
+    p_world = origin + t_best[..., None] * dirs_w
     inten = _intensity_texture(p_world, surf_id)
     # textureless zones: constant return inside any flat box
     if world.flat_centers.shape[0] > 0:
@@ -152,9 +215,35 @@ def render_scan(pose: se3.Pose, world: World, cfg: SensorConfig,
             jnp.all(rel <= world.flat_halves[None, None], axis=-1), axis=-1
         )
         inten = jnp.where(in_zone, 100.0, inten)
+    # dynamic surfaces get a constant-ish albedo of their own (retro vest /
+    # clothing): distinct from walls but not a feature-rich texture
+    if n_dyn > 0:
+        is_dyn = surf_id > world.box_centers.shape[0]
+        inten = jnp.where(is_dyn, 140.0, inten)
+
+    if noise is not None and key is not None:
+        k_r, k_s, k_d = jax.random.split(key, 3)
+        if noise.range_sigma > 0:
+            t_best = t_best + noise.range_sigma * jax.random.normal(
+                k_r, t_best.shape)
+        if noise.intensity_speckle > 0:
+            inten = inten * jnp.exp(
+                noise.intensity_speckle
+                * jax.random.normal(k_s, inten.shape))
+        if noise.dropout_rate > 0:
+            valid = valid & (jax.random.uniform(k_d, valid.shape)
+                             >= noise.dropout_rate)
+
     xyz_sensor = t_best[..., None] * dirs_s
     xyz_sensor = jnp.where(valid[..., None], xyz_sensor, 0.0)
-    inten = jnp.where(valid, inten, 0.0)
+    inten = jnp.where(valid, jnp.clip(inten, 1.0, 255.0), 0.0)
+    if return_world:
+        # the TRUE (noise-free-ray) world hit points — ground truth for
+        # testing the undistortion model against the renderer's per-column
+        # firing poses
+        pw = jnp.where(valid[..., None], p_world, 0.0)
+        return (xyz_sensor.reshape(-1, 3), inten.reshape(-1),
+                pw.reshape(-1, 3))
     return xyz_sensor.reshape(-1, 3), inten.reshape(-1)
 
 
@@ -176,7 +265,7 @@ def corridor_trajectory(num_frames: int, speed: float = 0.3,
     return se3.Pose(q, t)
 
 
-def circuit_world(textureless: bool = True) -> World:
+def circuit_world(textureless: bool = True, dynamic: bool = False) -> World:
     """The hard-benchmark world (spot_corridor-class, VERDICT r2 item 2): a
     rectangular corridor CIRCUIT around a 32 x 22 m inner block — ~140 m per
     lap — with pillar/box clutter in the corridor, two larger "rooms"
@@ -226,12 +315,22 @@ def circuit_world(textureless: bool = True) -> World:
         [([20.0, 30.0, wall_h], [6.0, 5.0, wall_h + 0.5])]  # north-leg span
         if textureless else []
     )
+    # a walking "person" pacing the south corridor and a cart drifting down
+    # the east leg — moving geometry every lap passes twice
+    dyn = (
+        [([30.0, 0.3, 0.85], [0.25, 0.25, 0.85], [-0.5, 0.0, 0.0]),
+         ([40.2, 12.0, 0.6], [0.3, 0.4, 0.6], [0.0, 0.35, 0.0])]
+        if dynamic else []
+    )
     return World(
         jnp.array([b[0] for b in all_b], jnp.float32),
         jnp.array([b[1] for b in all_b], jnp.float32),
         ground_z=0.0,
         flat_centers=jnp.array([f[0] for f in flat], jnp.float32).reshape(-1, 3),
         flat_halves=jnp.array([f[1] for f in flat], jnp.float32).reshape(-1, 3),
+        dyn_centers=jnp.array([d[0] for d in dyn], jnp.float32).reshape(-1, 3),
+        dyn_halves=jnp.array([d[1] for d in dyn], jnp.float32).reshape(-1, 3),
+        dyn_vel=jnp.array([d[2] for d in dyn], jnp.float32).reshape(-1, 3),
     )
 
 
@@ -270,8 +369,36 @@ def circuit_trajectory(num_frames: int, speed: float = 0.4,
     return se3.Pose(jnp.stack(qs[:num_frames]), jnp.stack(ts[:num_frames]))
 
 
-def render_sequence(poses: se3.Pose, world: World, cfg: SensorConfig):
-    """vmapped renderer: returns (F, H*W, 3) xyz + (F, H*W) intensity."""
-    return jax.vmap(lambda q, t: render_scan(se3.Pose(q, t), world, cfg))(
-        poses.q, poses.t
-    )
+def render_sequence(poses: se3.Pose, world: World, cfg: SensorConfig,
+                    distort: bool = False,
+                    noise: SensorNoise | None = None,
+                    key: jax.Array | None = None,
+                    times: jax.Array | None = None):
+    """vmapped renderer: returns (F, H*W, 3) xyz + (F, H*W) intensity.
+
+    `distort=True` renders each frame with its true per-column firing poses
+    (inter-frame motion as the per-scan delta); `noise`+`key` turn on the
+    stochastic sensor model; `times` (F,) drives dynamic objects."""
+    F = poses.q.shape[0]
+    if times is None:
+        times = jnp.arange(F, dtype=jnp.float32) * cfg.scan_period
+    if distort:
+        nxt = jax.tree.map(lambda a: jnp.roll(a, -1, axis=0), poses)
+        deltas = jax.vmap(
+            lambda q0, t0, q1, t1: se3.compose(
+                se3.inverse(se3.Pose(q0, t0)), se3.Pose(q1, t1))
+        )(poses.q, poses.t, nxt.q, nxt.t)
+        # last frame reuses the previous delta (constant velocity)
+        deltas = jax.tree.map(
+            lambda a: a.at[-1].set(a[-2] if F > 1 else a[-1]), deltas)
+    keys = (jax.random.split(key, F) if (noise is not None and key is not None)
+            else None)
+
+    def one(i):
+        d = (jax.tree.map(lambda a: a[i], deltas) if distort else None)
+        kk = keys[i] if keys is not None else None
+        return render_scan(
+            jax.tree.map(lambda a: a[i], poses), world, cfg,
+            delta=d, frame_time=times[i], noise=noise, key=kk)
+
+    return jax.vmap(one)(jnp.arange(F))

@@ -21,6 +21,14 @@ import jax.numpy as jnp
 from .grid_hash import _mix, _pack, _voxel_coord
 
 
+def compact(pts: jax.Array, mask: jax.Array, capacity: int):
+    """Public alias of `_compact`: masked front-compaction WITHOUT voxel
+    dedup — the `use_voxel: false` path of the loop-cloud filter
+    (`config/spot.yaml:31`; `intensity_feature_tracker.cpp:266-283` only
+    voxel-filters when USE_VOXEL_FILTER is set)."""
+    return _compact(pts, mask, capacity)
+
+
 def _compact(pts: jax.Array, mask: jax.Array, capacity: int):
     """Pack masked points to the front of a (capacity, 3) buffer.
 

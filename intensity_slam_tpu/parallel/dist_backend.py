@@ -73,6 +73,12 @@ def shard_backend_state(state: BackendState, mesh, axis: str = "data"
         kf_feat_desc=jax.device_put(state.kf_feat_desc, kf),
         kf_feat_xyz=jax.device_put(state.kf_feat_xyz, kf),
         kf_feat_valid=jax.device_put(state.kf_feat_valid, kf),
+        kf_raw=jax.tree.map(lambda a: jax.device_put(a, kf), state.kf_raw),
+        kf_ground=jax.device_put(state.kf_ground, kf),
+        kf_ground_mask=jax.device_put(state.kf_ground_mask, kf),
+        kf_corner=jax.device_put(state.kf_corner, kf),
+        kf_corner_mask=jax.device_put(state.kf_corner_mask, kf),
+        last_loop_kf=jax.device_put(state.last_loop_kf, rep),
     )
 
 

@@ -122,13 +122,12 @@ def optimize_shmap(
     Kp = -(-K // n) * n
     Ep = -(-E // n) * n
     scale = 1e-3  # matches posegraph.optimize's conditioning scale
-    odo_si = (1.0 / jnp.sqrt(jnp.asarray(odo_noise, jnp.float32))) * scale
     pr_si = (1.0 / jnp.sqrt(jnp.asarray(prior_noise, jnp.float32))) * scale
     pr_si_shard = pr_si / jnp.sqrt(float(n))
     odo_var = jnp.asarray(odo_noise, jnp.float32)
 
     def shard_solve(pq, pt, node_valid,
-                    oi, oq, ot, omask,
+                    oi, oq, ot, omask, osi,
                     li, lj, lq, lt, lsi, lval, lenv):
         def retract(poses, x):
             p = Pose(
@@ -147,7 +146,8 @@ def optimize_shmap(
                     se3.compose(se3.inverse(Pose(lq, lt)), rel_l))
                 s = jnp.sum(r_l * r_l / lenv, axis=-1)
                 c2 = loop_cauchy_c ** 2
-                w_rob = jnp.minimum(1.0, 2.0 * c2 / (c2 + s))
+                # squared envelope-DCS weight (matches posegraph.optimize)
+                w_rob = jnp.minimum(1.0, (2.0 * c2 / (c2 + s)) ** 2)
                 lsi_eff = lsi * scale * w_rob[:, None]
             else:
                 lsi_eff = lsi * scale
@@ -161,7 +161,7 @@ def optimize_shmap(
                 rel_est = se3.compose(se3.inverse(Tim1), Ti)
                 r_odo = se3.se3_log(
                     se3.compose(se3.inverse(Pose(oq, ot)), rel_est))
-                r_odo = jnp.where(omask[:, None], r_odo * odo_si, 0.0)
+                r_odo = jnp.where(omask[:, None], r_odo * osi, 0.0)
                 Tl_i = jax.tree.map(lambda a: a[li], p)
                 Tl_j = jax.tree.map(lambda a: a[lj], p)
                 rel = se3.compose(se3.inverse(Tl_i), Tl_j)
@@ -219,6 +219,14 @@ def optimize_shmap(
         step_len = jnp.where(
             g.node_valid & (idx_k >= 1) & (idx_k < g.num_nodes),
             jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
+        # per-edge odometry sqrt-information: random-walk floor + linear
+        # bias-drift in step length (matches posegraph.optimize exactly)
+        odo_var_edge = odo_var[None, :] + jnp.concatenate([
+            jnp.broadcast_to((drift_rot_rate * step_len[:, None]) ** 2,
+                             (K, 3)),
+            jnp.broadcast_to((drift_rate * step_len[:, None]) ** 2, (K, 3)),
+        ], axis=-1)
+        osi = _pad_to(scale / jnp.sqrt(odo_var_edge), Kp, 0.0)
         cum_len = jnp.cumsum(step_len)
         path_e = jnp.maximum(jnp.abs(cum_len[li] - cum_len[lj]), 1.0)
         n_e = jnp.maximum(jnp.abs(li - lj).astype(jnp.float32), 1.0)
@@ -235,7 +243,7 @@ def optimize_shmap(
             mesh=mesh,
             in_specs=(
                 P(), P(), P(),                 # poses q/t, node_valid (rep)
-                P(axis), P(axis), P(axis), P(axis),   # odo edges
+                P(axis), P(axis), P(axis), P(axis), P(axis),  # odo edges
                 P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
                 P(axis),                              # loop edges + envelope
             ),
@@ -243,7 +251,7 @@ def optimize_shmap(
         )
         q, t = solve(
             g.poses.q, g.poses.t, g.node_valid,
-            oi, oq, ot, omask,
+            oi, oq, ot, omask, osi,
             li, lj, lq, lt, lsi, lval, lenv,
         )
         return g._replace(poses=Pose(q, t))

@@ -1,0 +1,247 @@
+"""The fused per-frame step: front-end + keyframe back-end in ONE program.
+
+Round-2 measurement showed the two-program host orchestration (front step,
+read `is_keyframe` back, maybe dispatch a backend step) costing 250x its
+compute: every frame paid a device->host sync on a remote-TPU transport
+(front-end 31.3 ms median vs 6.3 ms sync-free), and the separately-jitted
+backend compiled lazily mid-run (58 s stall at the first loop closure).
+
+The fix is architectural, not incremental: the keyframe decision stays ON
+DEVICE as the predicate of a `lax.cond` whose true-branch runs the whole
+backend (keyframe ingest, loop detect, ICP verify, PGO), and every output
+the host would have read back per frame — poses, skip flags, keyframe ids —
+is appended to a device-resident ring log instead.  One jitted call per
+frame, zero host round-trips in the hot loop; the log and counters are
+fetched once at the end (or at any checkpoint the caller likes).  Both cond
+branches compile with the program, so there is no mid-run compile cliff.
+
+This also closes the loop the reference closes but round 2 didn't: an
+accepted loop's correction immediately re-bases the live mapping frame
+(`mapping.apply_correction`), rebuilds the voxel maps at the optimized
+poses (`mapping.rebuild_maps`, config-gated), and moves the raw anchors
+(`loop.apply_correction`) — the tf map->pgo_odom + updatePoses semantics of
+`intensity_feature_tracker.cpp:110-145,555-582`, applied to the WHOLE
+system state, map included.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..utils import se3
+from ..utils.se3 import Pose
+from . import loop as loop_mod
+from . import mapping, slam
+
+
+class FrameLog(NamedTuple):
+    """Device-resident per-frame ring log (capacity cfg.log_capacity)."""
+
+    q: jax.Array          # (T, 4) mapping-frame pose (era frame, see kf)
+    t: jax.Array          # (T, 3)
+    oq: jax.Array         # (T, 4) merged odometry pose (odom frame)
+    ot: jax.Array         # (T, 3)
+    kf: jax.Array         # (T,) int32 governing keyframe id
+    skip: jax.Array       # (T,) bool intensity-odometry skip flag
+    count: jax.Array      # () int32 frames ever logged
+    num_skips: jax.Array  # () int32
+
+
+class FusedState(NamedTuple):
+    slam: slam.SlamState
+    backend: loop_mod.BackendState
+    log: FrameLog
+
+
+class FrameInfo(NamedTuple):
+    """Tiny per-frame scalars returned to the host.  Reading ANY field
+    forces a sync — the hot loop should not; fetch at the end or every N
+    frames."""
+
+    is_keyframe: jax.Array
+    skip: jax.Array
+    num_good: jax.Array
+    loop_found: jax.Array
+    loop_idx: jax.Array
+    icp_fitness: jax.Array
+    num_kf: jax.Array
+    compacted: jax.Array
+    pose_t: jax.Array     # (3,) current mapping-frame position
+
+
+def init_state(cfg: SlamConfig, seed: int = 0) -> FusedState:
+    T = cfg.log_capacity
+    return FusedState(
+        slam=slam.init_state(cfg, seed),
+        backend=loop_mod.init_state(cfg),
+        log=FrameLog(
+            q=jnp.zeros((T, 4), jnp.float32).at[:, 0].set(1.0),
+            t=jnp.zeros((T, 3), jnp.float32),
+            oq=jnp.zeros((T, 4), jnp.float32).at[:, 0].set(1.0),
+            ot=jnp.zeros((T, 3), jnp.float32),
+            kf=jnp.full((T,), -1, jnp.int32),
+            skip=jnp.zeros((T,), bool),
+            count=jnp.int32(0),
+            num_skips=jnp.int32(0),
+        ),
+    )
+
+
+def _no_undistort(cfg: SlamConfig) -> SlamConfig:
+    if not cfg.sensor.undistort:
+        return cfg
+    return cfg.replace(
+        sensor=dataclasses.replace(cfg.sensor, undistort=False))
+
+
+def fused_step(
+    state: FusedState,
+    xyz: jax.Array,           # (H*W, 3) organized scan, sensor frame
+    inten: jax.Array,         # (H*W,)
+    timestamp: jax.Array,
+    detect_mask: jax.Array,
+    cfg: SlamConfig,
+) -> tuple[FusedState, FrameInfo]:
+    # undistort ONCE and feed the same corrected cloud to both the front-end
+    # and the keyframe store (r2 advisory: keyframe clouds / ScanContext /
+    # ICP must see the geometry the poses were estimated from)
+    if cfg.sensor.undistort:
+        xyz = slam.undistort_scan(xyz, state.slam.last_delta, cfg)
+    sstate, out = slam.slam_step(
+        state.slam, xyz, inten, timestamp, detect_mask, _no_undistort(cfg)
+    )
+
+    def kf_branch(sstate, bstate):
+        scan_valid = jnp.linalg.norm(xyz, axis=-1) >= cfg.sensor.min_range
+        bstate, bout = loop_mod.backend_step(
+            bstate, xyz, scan_valid, out.desc, out.desc_valid,
+            out.pose, timestamp, cfg,
+            feat_xyz=out.feat_xyz,
+            ground_pts=out.ground_ds, ground_mask=out.ground_ds_mask,
+            corner_pts=out.corner_ds, corner_mask=out.corner_ds_mask,
+        )
+        # --- live correction feedback (reference: updatePoses + tf
+        # map->pgo_odom): re-base the mapping frame, move the raw anchors,
+        # and (config-gated) rebuild the maps at the optimized poses
+        bstate = loop_mod.apply_correction(
+            bstate, bout.loop_found, bout.correction)
+        # correction is identity when no loop was accepted, so the rebase
+        # composes unconditionally
+        mstate = mapping.apply_correction(sstate.mapping, bout.correction)
+        if cfg.mapping.rebuild_on_loop:
+            mstate = jax.lax.cond(
+                bout.loop_found,
+                lambda ms: mapping.rebuild_maps(
+                    ms, bstate.kf_ground, bstate.kf_ground_mask,
+                    bstate.kf_corner, bstate.kf_corner_mask,
+                    bstate.graph.poses, bstate.num_kf, cfg),
+                lambda ms: ms,
+                mstate,
+            )
+        return sstate._replace(mapping=mstate), bstate, bout
+
+    def no_kf(sstate, bstate):
+        bout = loop_mod.BackendOutput(
+            loop_found=jnp.asarray(False), loop_idx=jnp.int32(-1),
+            icp_fitness=jnp.asarray(jnp.inf), correction=Pose.identity(),
+            sc_found=jnp.asarray(False), sc_dist=jnp.asarray(jnp.inf),
+            icp_inlier_frac=jnp.asarray(0.0), compacted=jnp.asarray(False),
+        )
+        return sstate, bstate, bout
+
+    sstate, bstate, bout = jax.lax.cond(
+        out.is_keyframe, kf_branch, no_kf, sstate, state.backend
+    )
+
+    # --- ring-log append.  The logged pose is expressed in the CURRENT era
+    # frame: when this very frame accepted a loop, compose its correction in
+    # so the entry matches the rebased kf_raw anchor.
+    log = state.log
+    logged = se3.compose(bout.correction, out.pose)
+    i = log.count % cfg.log_capacity
+    kf_prev = jnp.where(bout.compacted, log.kf // 2, log.kf)
+    log = FrameLog(
+        q=log.q.at[i].set(logged.q),
+        t=log.t.at[i].set(logged.t),
+        oq=log.oq.at[i].set(out.odom_pose.q),
+        ot=log.ot.at[i].set(out.odom_pose.t),
+        kf=kf_prev.at[i].set(bstate.num_kf - 1),
+        skip=log.skip.at[i].set(out.skip),
+        count=log.count + 1,
+        num_skips=log.num_skips + out.skip.astype(jnp.int32),
+    )
+
+    info = FrameInfo(
+        is_keyframe=out.is_keyframe,
+        skip=out.skip,
+        num_good=out.num_good,
+        loop_found=bout.loop_found,
+        loop_idx=bout.loop_idx,
+        icp_fitness=bout.icp_fitness,
+        num_kf=bstate.num_kf,
+        compacted=bout.compacted,
+        pose_t=logged.t,
+    )
+    return FusedState(slam=sstate, backend=bstate, log=log), info
+
+
+def keyframe_corrections(backend: loop_mod.BackendState) -> Pose:
+    """[K] per-keyframe era->PGO-frame corrections: opt_k o raw_k^-1
+    (`updatePoses` rewrite, `intensity_feature_tracker.cpp:110-145`)."""
+    return se3.compose(backend.graph.poses, se3.inverse(backend.kf_raw))
+
+
+def trajectory(state: FusedState, cfg: SlamConfig
+               ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """PGO-corrected trajectory export from the device log.
+
+    Returns (q (T, 4), t (T, 3), n ()): the first min(count, capacity)
+    entries are valid.  Each frame is corrected rigidly by its governing
+    keyframe's era->PGO correction — updatePoses semantics, evaluated
+    lazily at export time so the hot loop never touches it."""
+    log, backend = state.log, state.backend
+    corr = keyframe_corrections(backend)
+    kf = jnp.clip(log.kf, 0, backend.graph.node_valid.shape[0] - 1)
+    c = jax.tree.map(lambda a: a[kf], corr)
+    p = se3.compose(c, Pose(log.q, log.t))
+    have_kf = (log.kf >= 0)[:, None]
+    q = jnp.where(have_kf, p.q, log.q)
+    t = jnp.where(have_kf, p.t, log.t)
+    n = jnp.minimum(log.count, cfg.log_capacity)
+    return q, t, n
+
+
+def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig
+                ) -> FusedState:
+    """Adopt externally refined keyframe poses (e.g. from the distributed
+    `parallel.dist_backend.refine` pass) into the live system: write them
+    into the graph, re-base the live mapping frame onto the refined current
+    keyframe, move the raw anchors, and rebuild the maps (config-gated) —
+    the same feedback path an on-device loop closure takes."""
+    backend = state.backend
+    K = backend.graph.node_valid.shape[0]
+    live = (jnp.arange(K) < backend.num_kf)[:, None]
+    poses = jax.tree.map(
+        lambda n, o: jnp.where(live, n, o), new_poses, backend.graph.poses
+    )
+    backend = backend._replace(graph=backend.graph._replace(poses=poses))
+    k = backend.num_kf - 1
+    corr = se3.compose(
+        jax.tree.map(lambda a: a[k], poses),
+        se3.inverse(jax.tree.map(lambda a: a[k], backend.kf_raw)),
+    )
+    backend = loop_mod.apply_correction(backend, jnp.asarray(True), corr)
+    mstate = mapping.apply_correction(state.slam.mapping, corr)
+    if cfg.mapping.rebuild_on_loop:
+        mstate = mapping.rebuild_maps(
+            mstate, backend.kf_ground, backend.kf_ground_mask,
+            backend.kf_corner, backend.kf_corner_mask,
+            backend.graph.poses, backend.num_kf, cfg)
+    return state._replace(
+        slam=state.slam._replace(mapping=mstate), backend=backend
+    )

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from ..config import SlamConfig
 from ..ops import bow, icp, scancontext
-from ..ops.voxel import voxel_downsample
+from ..ops.voxel import compact, voxel_downsample
 from ..utils import se3
 from ..utils.se3 import Pose
 from . import posegraph
@@ -55,14 +55,33 @@ class BackendState(NamedTuple):
     kf_feat_desc: jax.Array   # (K, F, 8) uint32
     kf_feat_xyz: jax.Array    # (K, F, 3) sensor-frame feature points
     kf_feat_valid: jax.Array  # (K, F)
+    # RAW mapping-frame pose of each keyframe at ingestion time (the frame
+    # its era's live frames were expressed in) — the per-keyframe anchor the
+    # trajectory export differences against (`updatePoses` rewrite,
+    # `intensity_feature_tracker.cpp:110-145`)
+    kf_raw: Pose              # [K]
+    # per-keyframe downsampled sensor-frame GROUND and CORNER clouds — the
+    # raw material for rebuilding the scan-to-map voxel maps at optimized
+    # poses after a loop closure (mapping.rebuild_maps)
+    kf_ground: jax.Array      # (K, Pg, 3)
+    kf_ground_mask: jax.Array  # (K, Pg)
+    kf_corner: jax.Array      # (K, Pc, 3)
+    kf_corner_mask: jax.Array  # (K, Pc)
+    # keyframe index of the last ACCEPTED loop (cooldown gate); very
+    # negative when none yet
+    last_loop_kf: jax.Array   # () int32
 
 
 class BackendOutput(NamedTuple):
     loop_found: jax.Array     # () bool (accepted loop this keyframe)
     loop_idx: jax.Array       # () int32
     icp_fitness: jax.Array    # () f32
-    correction: Pose          # T_new o T_old^-1 of the current keyframe —
-    # apply to downstream odometry to follow the PGO frame
+    correction: Pose          # T_new o map_pose^-1: maps RAW mapping-frame
+    # poses of the current era into the post-solve PGO frame.  The fused
+    # step left-composes it onto mapping.T_map_odom (and the raw anchors,
+    # `apply_correction`) so the LIVE system follows the corrected frame —
+    # the reference's tf map->pgo_odom re-basing
+    # (`intensity_feature_tracker.cpp:555-582`).  Identity when no loop.
     sc_found: jax.Array       # () bool — ScanContext candidate fired
     sc_dist: jax.Array        # () f32 — best ScanContext distance
     icp_inlier_frac: jax.Array  # () f32
@@ -74,6 +93,8 @@ def init_state(cfg: SlamConfig) -> BackendState:
     lc = cfg.loop
     K, P = lc.max_keyframes, lc.keyframe_cloud_size
     F = cfg.feature.num_features
+    Pg = cfg.mapping.max_query_points
+    Pc = cfg.mapping.max_query_points // 2
     return BackendState(
         graph=posegraph.empty(K, 256),
         kf_cloud=jnp.zeros((K, P, 3), jnp.float32),
@@ -86,6 +107,12 @@ def init_state(cfg: SlamConfig) -> BackendState:
         kf_feat_desc=jnp.zeros((K, F, 8), jnp.uint32),
         kf_feat_xyz=jnp.zeros((K, F, 3), jnp.float32),
         kf_feat_valid=jnp.zeros((K, F), bool),
+        kf_raw=Pose.identity((K,)),
+        kf_ground=jnp.zeros((K, Pg, 3), jnp.float32),
+        kf_ground_mask=jnp.zeros((K, Pg), bool),
+        kf_corner=jnp.zeros((K, Pc, 3), jnp.float32),
+        kf_corner_mask=jnp.zeros((K, Pc), bool),
+        last_loop_kf=jnp.int32(-(1 << 30)),
     )
 
 
@@ -110,6 +137,12 @@ def _compact_state(st: BackendState) -> BackendState:
         kf_feat_desc=st.kf_feat_desc[src],
         kf_feat_xyz=st.kf_feat_xyz[src],
         kf_feat_valid=st.kf_feat_valid[src] & live[:, None],
+        kf_raw=jax.tree.map(lambda a: a[src], st.kf_raw),
+        kf_ground=st.kf_ground[src],
+        kf_ground_mask=st.kf_ground_mask[src] & live[:, None],
+        kf_corner=st.kf_corner[src],
+        kf_corner_mask=st.kf_corner_mask[src] & live[:, None],
+        last_loop_kf=st.last_loop_kf // 2,
     )
 
 
@@ -124,6 +157,10 @@ def backend_step(
     cfg: SlamConfig,
     feat_xyz: jax.Array | None = None,  # (F, 3) sensor-frame feature points
     # (stored for the distributed BA back-end; zeros if not provided)
+    ground_pts: jax.Array | None = None,   # (Pg, 3) downsampled sensor-frame
+    ground_mask: jax.Array | None = None,  # ground cloud (map rebuild input)
+    corner_pts: jax.Array | None = None,   # (Pc, 3) downsampled corner cloud
+    corner_mask: jax.Array | None = None,
 ) -> tuple[BackendState, BackendOutput]:
     lc = cfg.loop
 
@@ -137,14 +174,23 @@ def backend_step(
 
     # --- ingest: node + cloud + descriptors
     graph = posegraph.add_node(state.graph, map_pose)
-    cloud, cmask = voxel_downsample(
-        scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
-    )
+    if lc.use_voxel:
+        cloud, cmask = voxel_downsample(
+            scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
+        )
+    else:
+        cloud, cmask = compact(scan_xyz, scan_mask, lc.keyframe_cloud_size)
     sc = scancontext.make_scancontext(scan_xyz, scan_mask, lc)
     rk = scancontext.ring_key(sc)
     sig = bow.signature(desc, desc_valid)
     if feat_xyz is None:
         feat_xyz = jnp.zeros_like(state.kf_feat_xyz[0])
+    if ground_pts is None:
+        ground_pts = jnp.zeros_like(state.kf_ground[0])
+        ground_mask = jnp.zeros_like(state.kf_ground_mask[0])
+    if corner_pts is None:
+        corner_pts = jnp.zeros_like(state.kf_corner[0])
+        corner_mask = jnp.zeros_like(state.kf_corner_mask[0])
     state = state._replace(
         graph=graph,
         kf_cloud=state.kf_cloud.at[k].set(cloud),
@@ -157,6 +203,12 @@ def backend_step(
         kf_feat_desc=state.kf_feat_desc.at[k].set(desc),
         kf_feat_xyz=state.kf_feat_xyz.at[k].set(feat_xyz),
         kf_feat_valid=state.kf_feat_valid.at[k].set(desc_valid),
+        kf_raw=jax.tree.map(
+            lambda a, v: a.at[k].set(v), state.kf_raw, map_pose),
+        kf_ground=state.kf_ground.at[k].set(ground_pts),
+        kf_ground_mask=state.kf_ground_mask.at[k].set(ground_mask),
+        kf_corner=state.kf_corner.at[k].set(corner_pts),
+        kf_corner_mask=state.kf_corner_mask.at[k].set(corner_mask),
     )
 
     # --- detect: the reference hard-switches between three strategies
@@ -205,7 +257,13 @@ def backend_step(
     loop_idx = jnp.where(
         sc_found, sc_idx, jnp.where(bow_found, bow_idx, rad_idx)
     )
-    found = sc_found | bow_found | rad_found
+    # cooldown after an accepted loop (config.loop_cooldown_kf): consecutive
+    # keyframes along a revisited stretch would otherwise each re-close
+    # against the same place, paying a full PGO solve per near-duplicate
+    # edge (the reference throttles via its 10 Hz loop-thread cadence +
+    # MIN_LOOP_SEARCH_GAP, `intensity_feature_tracker.cpp:195-214`)
+    cooled = (k - state.last_loop_kf) >= lc.loop_cooldown_kf
+    found = (sc_found | bow_found | rad_found) & cooled
 
     def verify_and_close(st: BackendState):
         g = st.graph
@@ -233,17 +291,24 @@ def backend_step(
         tgt = jnp.concatenate(tgt_parts)
         tgt_mask = jnp.concatenate(tgt_masks)
         # source: current cloud in its own sensor frame; ICP solves
-        # M: cur-sensor -> loop-local, init = Rz(scan-context yaw) when the
-        # SC channel produced the candidate (identity for BoW/radius)
+        # M: cur-sensor -> loop-local.  Init: Rz(scan-context yaw) when the
+        # SC channel produced the candidate; otherwise the ROTATION of the
+        # graph's relative estimate T_loop^-1 o T_cur — rotation drift is
+        # far smaller than a heading flip, so for BoW/radius candidates
+        # (which carry no yaw evidence) the graph estimate is strictly
+        # better than identity: a revisit with opposite heading (~180 deg,
+        # common in corridors) would start ICP half a turn off and be
+        # silently rejected by the fitness gate.  Translation stays zero —
+        # a true revisit's offset is small, while the graph's relative
+        # TRANSLATION carries the very drift the loop must measure.
         src = st.kf_cloud[k]
         src_mask = st.kf_cloud_mask[k]
         half = 0.5 * jnp.where(sc_found, yaw if lc.use_scancontext else 0.0,
                                0.0)
-        init = Pose(
-            jnp.stack([jnp.cos(half), jnp.zeros_like(half),
-                       jnp.zeros_like(half), jnp.sin(half)]),
-            jnp.zeros(3),
-        )
+        q_sc = jnp.stack([jnp.cos(half), jnp.zeros_like(half),
+                          jnp.zeros_like(half), jnp.sin(half)])
+        q_graph = se3.compose(se3.inverse(T_loop), T_cur).q
+        init = Pose(jnp.where(sc_found, q_sc, q_graph), jnp.zeros(3))
         if lc.use_crop:
             # CropBox(+/-CROP_SIZE) around the revisited place — the loop
             # keyframe origin in these local frames (the reference crops
@@ -304,8 +369,17 @@ def backend_step(
             lambda a, b: jnp.where(accept, a, b), g2, g
         )
         T_new = jax.tree.map(lambda a: a[k], g_out.poses)
-        corr = se3.compose(T_new, se3.inverse(T_cur))
-        return st._replace(graph=g_out), BackendOutput(
+        # raw->PGO-frame correction: maps the live mapping frame (in which
+        # map_pose was measured) into the post-solve graph frame; identity
+        # unless accepted (see BackendOutput.correction)
+        corr_acc = se3.compose(T_new, se3.inverse(map_pose))
+        corr = jax.tree.map(
+            lambda a, i: jnp.where(accept, a, i), corr_acc, Pose.identity()
+        )
+        return st._replace(
+            graph=g_out,
+            last_loop_kf=jnp.where(accept, k, st.last_loop_kf),
+        ), BackendOutput(
             loop_found=accept, loop_idx=loop_idx,
             icp_fitness=res.fitness, correction=corr,
             sc_found=found, sc_dist=sc_dist,
@@ -324,3 +398,33 @@ def backend_step(
         )
 
     return jax.lax.cond(found, verify_and_close, no_loop, state)
+
+
+def apply_correction(
+    st: BackendState, accepted: jax.Array, corr: Pose
+) -> BackendState:
+    """Rebase the backend's raw anchors after the LIVE system adopts `corr`
+    (the raw->PGO-frame correction of an accepted loop at the CURRENT
+    keyframe).
+
+    Once the fused step left-composes `corr` onto `mapping.T_map_odom`,
+    every subsequent mapped pose arrives in the corrected frame, so: the
+    graph's `last_raw` (what the next odometry edge is differenced against)
+    and the current keyframe's `kf_raw` (what its era's trajectory-log
+    frames are corrected against at export) must both move to the corrected
+    frame — i.e. to the keyframe's optimized graph pose.  This is the state
+    half of the reference's map->pgo_odom re-basing
+    (`intensity_feature_tracker.cpp:110-145,555-582`); without it the next
+    odometry edge would bake the whole loop correction in as if it were
+    robot motion."""
+    k = st.num_kf - 1
+    raw_k = jax.tree.map(lambda a: a[k], st.kf_raw)
+    T_new = se3.compose(corr, raw_k)
+    sel = lambda a, b: jnp.where(accepted, a, b)
+    kf_raw = jax.tree.map(
+        lambda arr, v: arr.at[k].set(sel(v, arr[k])), st.kf_raw, T_new
+    )
+    last_raw = jax.tree.map(sel, T_new, st.graph.last_raw)
+    return st._replace(
+        kf_raw=kf_raw, graph=st.graph._replace(last_raw=last_raw)
+    )

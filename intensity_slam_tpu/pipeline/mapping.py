@@ -72,6 +72,13 @@ class MappingOutput(NamedTuple):
     converged: jax.Array
     map_points: jax.Array       # () int32 ground-map size
     num_window_residuals: jax.Array  # () int32 sliding-window BA matches used
+    # the voxel-downsampled SENSOR-frame clouds this step inserted (the
+    # keyframe back-end stores them per keyframe as rebuild_maps raw
+    # material)
+    ground_ds: jax.Array        # (Pg, 3)
+    ground_ds_mask: jax.Array   # (Pg,)
+    corner_ds: jax.Array        # (Pc, 3)
+    corner_ds_mask: jax.Array   # (Pc,)
 
 
 def init_state(cfg: SlamConfig) -> MappingState:
@@ -316,5 +323,63 @@ def mapping_step(
         converged=res.converged,
         map_points=ground_map.num_points,
         num_window_residuals=num_window,
+        ground_ds=q_pts,
+        ground_ds_mask=q_mask,
+        corner_ds=c_pts,
+        corner_ds_mask=c_mask,
     )
     return new_state, out
+
+
+def apply_correction(state: MappingState, corr: Pose) -> MappingState:
+    """Re-base the live mapping frame by a raw->PGO-frame loop correction:
+    T_map_odom <- corr o T_map_odom, so every subsequent mapped pose lands
+    in the corrected graph frame (the reference's tf map->pgo_odom,
+    `intensity_feature_tracker.cpp:555-582`).  The maps themselves are NOT
+    rigidly moved — a single rigid transform cannot un-smear geometry that
+    accumulated across the whole drifted trajectory; pair with
+    `rebuild_maps` (config `rebuild_on_loop`) for a consistent map."""
+    return state._replace(T_map_odom=se3.compose(corr, state.T_map_odom))
+
+
+def rebuild_maps(
+    state: MappingState,
+    kf_ground: jax.Array,       # (K, Pg, 3) sensor-frame keyframe clouds
+    kf_ground_mask: jax.Array,  # (K, Pg)
+    kf_corner: jax.Array,       # (K, Pc, 3)
+    kf_corner_mask: jax.Array,  # (K, Pc)
+    kf_poses: Pose,             # [K] OPTIMIZED keyframe poses (graph frame)
+    num_kf: jax.Array,          # () int32
+    cfg: SlamConfig,
+) -> MappingState:
+    """Rebuild both voxel maps from the per-keyframe downsampled clouds at
+    the optimized graph poses — one batched transform + one scatter insert
+    per map.
+
+    This is the map half of a loop closure the reference never does: its
+    ikd-tree keeps every point at the (drifted) pose it was inserted at
+    (`mapOptimization.cpp:467-479` — inserts are permanent), so on a second
+    lap the scan-to-map step matches against smeared lap-1+lap-2 geometry.
+    A device-resident map makes the full rebuild a single fused pass (~ms),
+    so the map snaps to the corrected trajectory along with the poses.
+    Non-keyframe frames' points are dropped — keyframes are gated at 0.3 m
+    spacing (`spot.yaml:35-36`), denser than both voxel resolutions."""
+    mc = cfg.mapping
+    K = kf_ground.shape[0]
+    live = (jnp.arange(K) < num_kf)[:, None]
+    g_world = jax.vmap(se3.transform_points)(kf_poses, kf_ground)
+    c_world = jax.vmap(se3.transform_points)(kf_poses, kf_corner)
+    num_sets, ways = state.ground_map.way_keys.shape
+    ground = grid_hash.insert(
+        grid_hash.empty(num_sets, ways),
+        g_world.reshape(-1, 3),
+        (kf_ground_mask & live).reshape(-1),
+        2.0 * mc.ground_voxel,
+    )
+    corner = grid_hash.insert(
+        grid_hash.empty(num_sets, ways),
+        c_world.reshape(-1, 3),
+        (kf_corner_mask & live).reshape(-1),
+        2.0 * mc.corner_voxel,
+    )
+    return state._replace(ground_map=ground, corner_map=corner)

@@ -203,7 +203,9 @@ def compact_half(g: PoseGraph) -> PoseGraph:
 
 
 def _edge_residuals(g: PoseGraph, poses: Pose, odo_sqrt_info, prior_sqrt_info):
-    """All residuals as one flat vector (padding rows weighted 0)."""
+    """All residuals as one flat vector (padding rows weighted 0).
+
+    `odo_sqrt_info` is PER-EDGE, shape (K, 6) — see `edge_sqrt_info`."""
     K = g.node_valid.shape[0]
     # prior on node 0 at its current anchor (gauge fix)
     r_prior = prior_sqrt_info * se3.se3_log(
@@ -216,7 +218,7 @@ def _edge_residuals(g: PoseGraph, poses: Pose, odo_sqrt_info, prior_sqrt_info):
     r_odo = se3.se3_log(se3.compose(se3.inverse(g.odo_rel), rel_est))
     idx = jnp.arange(K)
     w_odo = (g.node_valid & (idx >= 1) & (idx < g.num_nodes))[:, None]
-    r_odo = jnp.where(w_odo, r_odo * odo_sqrt_info[None, :], 0.0)
+    r_odo = jnp.where(w_odo, r_odo * odo_sqrt_info, 0.0)
     # loop edges
     Tli = jax.tree.map(lambda a: a[g.loop_i], poses)
     Tlj = jax.tree.map(lambda a: a[g.loop_j], poses)
@@ -243,8 +245,9 @@ def optimize(
     Loop edges carry a robust model serving the reference's
     `CauchyEstimator(1)` wrap on loop BetweenFactors
     (`intensity_feature_tracker.cpp:356-363`): per GN iteration each loop
-    edge's sqrt-information is reweighted by the DCS (dynamic covariance
-    scaling, Agarwal et al. 2013) factor min(1, 2c^2/(c^2+s)) (IRLS).
+    edge's sqrt-information is reweighted by a squared DCS (dynamic
+    covariance scaling, Agarwal et al. 2013) factor min(1, (2c^2/(c^2+s))^2)
+    (IRLS; see the in-loop comment for why the tail is quartic here).
     Redesign note: the reference whitens by the measurement noise; under our
     honest noise model (fitness-scaled loop infos up to 1e4) that would
     punish a high-precision loop for simply OBSERVING real drift.  Here s is
@@ -258,23 +261,44 @@ def optimize(
     (residual far outside the envelope) is crushed from the first
     iteration, before it can reshape the graph.
     loop_cauchy_c <= 0 disables (pure quadratic).
+
+    Odometry edges carry PER-EDGE noise scaled by step length: real drift is
+    bias-dominated and grows ~linearly with distance travelled, so each edge's
+    variance is the random-walk floor (`odo_noise`) PLUS the squared
+    per-meter drift over its own step ((drift_rate * |Z_i.t|)^2 translation,
+    (drift_rot_rate * |Z_i.t|)^2 rotation).  With the bare random-walk model
+    a 100-edge chain claims ~sqrt(100)*2 cm = 0.2 m cumulative uncertainty —
+    ~40x stiffer than real drift — and the solver then PREFERS leaving a
+    multi-meter loop residual unexplained over deforming the chain (the r2
+    benchmark's 8 m end error despite 25 accepted loops).  The linear-drift
+    term makes the chain honestly soft so accepted loops actually correct.
+    The reference's GTSAM chain has the same pathology in principle
+    (odometry var 1e-8, `intensity_feature_tracker.cpp:41-47`) but its loop
+    noise is equally tiny; our loop noise is honest (fitness-scaled), so the
+    chain must be too.
     """
     K = g.node_valid.shape[0]
-    odo_si = 1.0 / jnp.sqrt(jnp.asarray(odo_noise, jnp.float32))
     pr_si = 1.0 / jnp.sqrt(jnp.asarray(prior_noise, jnp.float32))
     # scale information to keep float32 CG well-conditioned; the optimum is
     # invariant to a global scaling of all sqrt-informations
     scale = 1e-3
-    odo_si, pr_si = odo_si * scale, pr_si * scale
+    pr_si = pr_si * scale
     base_loop_si = g.loop_sqrt_info * scale
 
-    # plausible-drift envelope per loop edge (static across GN iterations:
-    # it depends only on the measurements, not the iterate)
     idx_n = jnp.arange(K)
     step_len = jnp.where(
         g.node_valid & (idx_n >= 1) & (idx_n < g.num_nodes),
         jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0,
     )
+    # per-edge odometry sqrt-information (see docstring)
+    odo_var_edge = jnp.asarray(odo_noise, jnp.float32)[None, :] + jnp.concatenate([
+        jnp.broadcast_to((drift_rot_rate * step_len[:, None]) ** 2, (K, 3)),
+        jnp.broadcast_to((drift_rate * step_len[:, None]) ** 2, (K, 3)),
+    ], axis=-1)
+    odo_si = scale / jnp.sqrt(odo_var_edge)
+
+    # plausible-drift envelope per loop edge (static across GN iterations:
+    # it depends only on the measurements, not the iterate)
     cum_len = jnp.cumsum(step_len)
     path_e = jnp.maximum(
         jnp.abs(cum_len[g.loop_i] - cum_len[g.loop_j]), 1.0
@@ -298,13 +322,17 @@ def optimize(
             rel_l = se3.compose(se3.inverse(Tli), Tlj)
             r_l = se3.se3_log(se3.compose(se3.inverse(g.loop_rel), rel_l))
             s = jnp.sum(r_l * r_l / env_var, axis=-1)
-            # DCS (dynamic covariance scaling) weight: min(1, 2c^2/(c^2+s)).
-            # Within the envelope (s <= c^2) the loop keeps FULL weight;
-            # outside, the effective information decays as 1/s^2 — fast
-            # enough to reject gross outliers even against a much softer
-            # odometry chain (Cauchy's 1/s decay is not).
+            # DCS (dynamic covariance scaling) weight, SQUARED: within the
+            # envelope (s <= c^2) the loop keeps FULL weight; outside, the
+            # effective information decays as 1/s^4.  The classic 1/s^2 DCS
+            # tail is not steep enough here: loop edges carry fitness-scaled
+            # information up to 1e4x the (honestly soft, drift-scaled)
+            # odometry chain, so a gross outlier at 1/s^2 still retains
+            # chain-comparable pull (~0.5 m graph corruption from a 10 m-off
+            # edge); the quartic tail crushes it to nothing while leaving
+            # genuine drift-sized residuals (s < c^2) untouched.
             c2 = loop_cauchy_c ** 2
-            w_rob = jnp.minimum(1.0, 2.0 * c2 / (c2 + s))
+            w_rob = jnp.minimum(1.0, (2.0 * c2 / (c2 + s)) ** 2)
             loop_si = base_loop_si * w_rob[:, None]
         else:
             loop_si = base_loop_si

@@ -57,6 +57,12 @@ class SlamOutput(NamedTuple):
     desc_valid: jax.Array
     feat_xyz: jax.Array         # (K, 3) sensor-frame feature points (for the
     # keyframe store / distributed BA); None inside lax.scan replays
+    # downsampled sensor-frame ground/corner clouds this frame inserted
+    # (keyframe store -> loop-closure map rebuild); zeros in scan replays
+    ground_ds: jax.Array        # (Pg, 3)
+    ground_ds_mask: jax.Array   # (Pg,)
+    corner_ds: jax.Array        # (Pc, 3)
+    corner_ds_mask: jax.Array   # (Pc,)
 
 
 def init_state(cfg: SlamConfig, seed: int = 0) -> SlamState:
@@ -155,6 +161,10 @@ def slam_step(
         desc=odo_out.features.desc,
         desc_valid=odo_out.features.valid & odo_out.features.xyz_valid,
         feat_xyz=odo_out.features.xyz,
+        ground_ds=map_out.ground_ds,
+        ground_ds_mask=map_out.ground_ds_mask,
+        corner_ds=map_out.corner_ds,
+        corner_ds_mask=map_out.corner_ds_mask,
     )
     return new_state, out
 
@@ -168,11 +178,15 @@ def run_sequence(
     def step(state, inp):
         x, i, t = inp
         state, out = slam_step(state, x, i, t, mask, cfg)
-        # descriptors are per-frame bulk data — drop them from the stacked
-        # replay output to bound memory
+        # descriptors/clouds are per-frame bulk data — drop them from the
+        # stacked replay output to bound memory
+        z = jnp.zeros(0, jnp.float32)
         return state, out._replace(desc=jnp.zeros(0, jnp.uint32),
                                    desc_valid=jnp.zeros(0, bool),
-                                   feat_xyz=jnp.zeros(0, jnp.float32))
+                                   feat_xyz=z, ground_ds=z,
+                                   ground_ds_mask=jnp.zeros(0, bool),
+                                   corner_ds=z,
+                                   corner_ds_mask=jnp.zeros(0, bool))
 
     _, outs = jax.lax.scan(step, init_state(cfg), (xyz_seq, inten_seq, times))
     return outs

@@ -1,17 +1,32 @@
-"""SlamSystem: host orchestration of the front-end and loop back-end.
+"""SlamSystem: host driver of the fused per-frame program.
 
-The reference runs the back-end as threads inside `ascanRegistration`
+The reference runs its back-end as threads inside `ascanRegistration`
 (factor-graph thread at 100 Hz, loop thread at 10 Hz,
 `scanRegistration.cpp:734-735`) communicating through mutex-guarded deques.
-Here the host loop plays that role: the jitted front-end step runs every
-frame; the jitted back-end step runs on keyframes.  Device state stays
-resident; the host only moves O(1) scalars per frame (the is-keyframe flag
-and pose readbacks) — SURVEY §7's two-stream design.
+Round 2 mirrored that on the host and paid a device->host sync per frame —
+250x slower end-to-end than its own kernels on a remote-TPU transport.
+
+Round 3 moves the orchestration INTO the program: `pipeline.fused`
+runs the front-end every frame and the whole back-end under an in-graph
+`lax.cond` on the keyframe flag, appending everything the host might want
+to a device-resident log.  This class is now a thin driver:
+
+- `process` dispatches one fused step per frame and returns the device
+  FrameInfo WITHOUT reading it (no sync; JAX async dispatch pipelines the
+  transfers and compute).  Read any field if you want to block.
+- trajectory/loops/keyframe accessors fetch device state on demand —
+  typically once, at the end of a sequence.
+- `refine` hands the live BackendState to the distributed back-end
+  (`parallel.dist_backend.refine`, optionally over a mesh) and adopts the
+  refined poses through the same feedback path a loop closure takes
+  (`fused.adopt_graph`).  With `cfg.parallel.refine_every_kf > 0`,
+  `process` triggers it automatically every N keyframes (the keyframe count
+  is polled every 32 frames — one scalar fetch).
 
 Trajectory export follows `updatePoses` semantics
 (`intensity_feature_tracker.cpp:110-145`): keyframe poses come from the
 optimized graph; intermediate frames are corrected rigidly with their
-preceding keyframe's correction.
+governing keyframe's era->PGO correction (`fused.trajectory`).
 """
 
 from __future__ import annotations
@@ -22,120 +37,130 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..ops import projection
-from ..utils import se3
-from ..utils.se3 import Pose
-from . import loop as loop_mod
-from . import slam
+from . import fused
 
 
 class SlamSystem:
-    def __init__(self, cfg: SlamConfig, seed: int = 0):
+    def __init__(self, cfg: SlamConfig, seed: int = 0, mesh=None):
         self.cfg = cfg
+        self.mesh = mesh
         self.mask = projection.detection_mask(cfg.sensor)
-        self.state = slam.init_state(cfg, seed)
-        self.bstate = loop_mod.init_state(cfg)
-
-        self._front = jax.jit(
-            lambda st, x, i, t: slam.slam_step(st, x, i, t, self.mask, cfg)
+        self.state = fused.init_state(cfg, seed)
+        # donate the state: it is ~100 MB of keyframe store + maps and must
+        # not be copied every frame
+        self._step = jax.jit(
+            lambda st, x, i, t: fused.fused_step(st, x, i, t, self.mask, cfg),
+            donate_argnums=(0,),
         )
-        self._backend = jax.jit(
-            lambda bst, x, m, d, dv, q, tt, ts, fx: loop_mod.backend_step(
-                bst, x, m, d, dv, Pose(q, tt), ts, cfg, feat_xyz=fx)
+        self._traj = jax.jit(lambda st: fused.trajectory(st, cfg))
+        self._adopt = jax.jit(
+            lambda st, poses: fused.adopt_graph(st, poses, cfg),
+            donate_argnums=(0,),
         )
-        # host-side logs
-        self.frame_poses: list[np.ndarray] = []   # map poses (q, t) per frame
-        self.frame_kf_id: list[int] = []          # preceding keyframe id
-        self.kf_map_pose: list[tuple[np.ndarray, np.ndarray]] = []
-        self.loops: list[tuple[int, int, float]] = []
-        self.num_skips = 0
+        self._frames = 0
+        self._last_refine_kf = 0
 
-    def process(self, xyz, inten, timestamp) -> dict:
-        import time
-
-        t0 = time.perf_counter()
-        self.state, out = self._front(self.state, xyz, inten,
-                                      jnp.asarray(timestamp, jnp.float32))
-        is_kf = bool(out.is_keyframe)   # forces device sync of the front step
-        t1 = time.perf_counter()
-        info = {
-            "skip": bool(out.skip),
-            "is_keyframe": is_kf,
-            "num_good": int(out.num_good),
-            "t_front": t1 - t0,
-        }
-        self.num_skips += info["skip"]
-        if is_kf:
-            scan_valid = jnp.linalg.norm(xyz, axis=-1) >= self.cfg.sensor.min_range
-            self.bstate, bout = self._backend(
-                self.bstate, xyz, scan_valid, out.desc, out.desc_valid,
-                out.pose.q, out.pose.t,
-                jnp.asarray(timestamp, jnp.float32),
-                out.feat_xyz,
-            )
-            if bool(bout.compacted):
-                # device store was full and decimated by 2 BEFORE ingesting
-                # this keyframe — mirror on the host logs
-                import warnings
-
-                warnings.warn(
-                    f"keyframe store full ({self.cfg.loop.max_keyframes}); "
-                    "decimated by 2 (even-indexed keyframes kept)",
-                    stacklevel=2,
-                )
-                self.kf_map_pose = self.kf_map_pose[0::2]
-                self.loops = [(a // 2, b // 2, f) for a, b, f in self.loops]
-                self.frame_kf_id = [i // 2 if i >= 0 else i
-                                    for i in self.frame_kf_id]
-                info["compacted"] = True
-            self.kf_map_pose.append(
-                (np.asarray(out.pose.q), np.asarray(out.pose.t))
-            )
-            info["t_backend"] = time.perf_counter() - t1
-            info["sc_found"] = bool(bout.sc_found)
-            info["sc_dist"] = float(bout.sc_dist)
-            info["icp_fitness"] = float(bout.icp_fitness)
-            info["icp_inlier_frac"] = float(bout.icp_inlier_frac)
-            if bool(bout.loop_found):
-                self.loops.append(
-                    (len(self.kf_map_pose) - 1, int(bout.loop_idx),
-                     float(bout.icp_fitness))
-                )
-                info["loop"] = self.loops[-1]
-        self.frame_poses.append(
-            (np.asarray(out.pose.q), np.asarray(out.pose.t))
+    # ---- hot path ----------------------------------------------------------
+    def process(self, xyz, inten, timestamp) -> fused.FrameInfo:
+        """Dispatch one frame.  Returns device scalars; does NOT sync."""
+        self.state, info = self._step(
+            self.state, xyz, inten, jnp.asarray(timestamp, jnp.float32)
         )
-        self.frame_kf_id.append(len(self.kf_map_pose) - 1)
+        self._frames += 1
+        every = self.cfg.parallel.refine_every_kf
+        if every > 0 and self._frames % 32 == 0:
+            n_kf = int(info.num_kf)          # one scalar fetch / 32 frames
+            if n_kf - self._last_refine_kf >= every:
+                self.refine()
+                self._last_refine_kf = n_kf
         return info
 
+    # ---- distributed refinement -------------------------------------------
+    def refine(self) -> None:
+        """Run the (optionally mesh-sharded) global BA+PGO refinement on the
+        live keyframe store and feed the refined poses back."""
+        from ..parallel import dist_backend
+
+        bstate = self.state.backend
+        if self.mesh is not None:
+            bstate = dist_backend.shard_backend_state(bstate, self.mesh)
+        res = dist_backend.refine(bstate, self.cfg, mesh=self.mesh)
+        poses = jax.device_put(
+            res.state.graph.poses, jax.devices()[0]
+        ) if self.mesh is not None else res.state.graph.poses
+        self.state = self._adopt(self.state, poses)
+
+    # ---- state accessors (each fetch syncs; use after the hot loop) --------
+    @property
+    def bstate(self):
+        return self.state.backend
+
+    @property
+    def num_keyframes(self) -> int:
+        return int(self.state.backend.num_kf)
+
+    @property
+    def num_skips(self) -> int:
+        return int(self.state.log.num_skips)
+
+    @property
+    def kf_map_pose(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Raw (era-frame) map pose per keyframe, as the old host mirror."""
+        n = self.num_keyframes
+        q = np.asarray(self.state.backend.kf_raw.q[:n])
+        t = np.asarray(self.state.backend.kf_raw.t[:n])
+        return [(q[i], t[i]) for i in range(n)]
+
+    @property
+    def loops(self) -> list[tuple[int, int, float]]:
+        """Accepted loop edges as (cur_kf, loop_kf, icp_fitness)."""
+        g = self.state.backend.graph
+        n = int(g.num_loops)
+        L = g.loop_valid.shape[0]
+        out = []
+        order = range(n) if n <= L else range(n - L, n)
+        li = np.asarray(g.loop_i)
+        lj = np.asarray(g.loop_j)
+        si = np.asarray(g.loop_sqrt_info)
+        valid = np.asarray(g.loop_valid)
+        for e in order:
+            s = e % L
+            if not valid[s]:
+                continue
+            fit = float(1.0 / max(si[s, 0], 1e-12) ** 2)
+            out.append((int(li[s]), int(lj[s]), fit))
+        return out
+
+    @property
+    def frame_poses(self) -> list[tuple[np.ndarray, np.ndarray]]:
+        """Era-frame pose per frame from the device log (pre-export)."""
+        log = self.state.log
+        n = min(int(log.count), self.cfg.log_capacity)
+        q = np.asarray(log.q[:n])
+        t = np.asarray(log.t[:n])
+        return [(q[i], t[i]) for i in range(n)]
+
+    def trajectory(self) -> np.ndarray:
+        """(T, 3) PGO-corrected positions (updatePoses semantics)."""
+        q, t, n = self._traj(self.state)
+        return np.asarray(t)[: int(n)]
+
+    def odom_trajectory(self) -> np.ndarray:
+        """(T, 3) merged-odometry positions (pre-mapping, pre-PGO) — the
+        per-stage drift diagnostic."""
+        log = self.state.log
+        n = min(int(log.count), self.cfg.log_capacity)
+        return np.asarray(log.ot[:n])
+
+    # ---- checkpoint/resume -------------------------------------------------
     def save(self, prefix: str) -> None:
-        """Checkpoint device state for crash-resume / multi-session mapping."""
+        """Checkpoint the full fused state for crash-resume / multi-session
+        mapping."""
         from ..utils import checkpoint
 
-        checkpoint.save(prefix + ".front.npz", self.state)
-        checkpoint.save(prefix + ".backend.npz", self.bstate)
+        checkpoint.save(prefix + ".fused.npz", self.state)
 
     def load(self, prefix: str) -> None:
         from ..utils import checkpoint
 
-        self.state = checkpoint.restore(prefix + ".front.npz", self.state)
-        self.bstate = checkpoint.restore(prefix + ".backend.npz", self.bstate)
-
-    def trajectory(self) -> np.ndarray:
-        """(T, 3) PGO-corrected positions (updatePoses semantics)."""
-        n_kf = len(self.kf_map_pose)
-        if n_kf == 0:
-            return np.stack([t for _, t in self.frame_poses])
-        g = self.bstate.graph
-        opt_q = np.asarray(g.poses.q[:n_kf])
-        opt_t = np.asarray(g.poses.t[:n_kf])
-        out = []
-        for (fq, ft), kf in zip(self.frame_poses, self.frame_kf_id):
-            kf = max(kf, 0)
-            # correction of the governing keyframe: T_opt o T_map^-1
-            mq, mt = self.kf_map_pose[kf]
-            T_opt = Pose(jnp.asarray(opt_q[kf]), jnp.asarray(opt_t[kf]))
-            T_map = Pose(jnp.asarray(mq), jnp.asarray(mt))
-            corr = se3.compose(T_opt, se3.inverse(T_map))
-            p = se3.compose(corr, Pose(jnp.asarray(fq), jnp.asarray(ft)))
-            out.append(np.asarray(p.t))
-        return np.stack(out)
+        self.state = checkpoint.restore(prefix + ".fused.npz", self.state)

@@ -1,4 +1,4 @@
-"""StreamingRunner: the native two-stream executor over a scan log.
+"""StreamingRunner: the native streaming executor over a scan log.
 
 Maps the reference's process/thread architecture (SURVEY.md §2 P1-P6) onto
 the TPU host runtime:
@@ -6,18 +6,22 @@ the TPU host runtime:
   reference                               here
   ---------------------------------------------------------------------
   TCPROS subscriber + spinner decode      C++ Prefetcher thread (scanlog)
-  ascanRegistration front-end (10 Hz)     caller thread: jitted front step
-  loop/factor threads + mutexed deques    back-end thread + native Channel
-  frame-drop realtime policy              Channel(drop_oldest=True)
+  ascanRegistration front-end (10 Hz)     caller thread: fused jitted step
+  loop/factor threads (100 Hz / 10 Hz)    IN-GRAPH lax.cond back-end
+  mutex-guarded deques + frame drop       native Channel(drop_oldest) to
+                                          the pose-writer thread
   blocking debug ofstream                 C++ async TrajectoryWriter
 
-The front-end thread owns the latency-critical odometry/mapping step; the
-back-end thread owns loop closure + pose-graph work at keyframe rate.  The
-native channel carries only O(1) keyframe records; bulk keyframe tensors
-pass through a Python-side slot table keyed by keyframe id (the analogue of
-the reference's shared_ptr clouds inside its queues).  JAX dispatch releases
-the GIL during device execution, so host prep for stream B overlaps device
-work for stream A.
+Round 2 ran the loop/PGO back-end on a host thread that shared the device
+transport with the front-end and synced on `is_keyframe` every frame —
+0.62 scans/s end to end.  The back-end now lives INSIDE the fused step
+(`pipeline.fused`): the keyframe decision is a device-side `lax.cond`, so
+the caller thread only dispatches.  What remains genuinely asynchronous on
+the host is IO: the native prefetcher decodes scans ahead of the consumer,
+and the writer thread drains per-frame pose handles through the native
+channel, forcing each device->host pose transfer OFF the critical path
+(the analogue of the reference's drop-policy queues,
+`laserMapping.cpp:317-321`).
 """
 
 from __future__ import annotations
@@ -31,107 +35,123 @@ import numpy as np
 
 from ..config import SlamConfig
 from ..ops import projection
-from ..pipeline import loop as loop_mod
-from ..pipeline import slam
-from ..utils.se3 import Pose
+from ..pipeline import fused
 from .channel import Channel
 from .scanlog import ScanLog
 from .traj import TrajectoryWriter
 
-_KF_DTYPE = np.dtype([
-    ("kf_slot", np.int64),
+_REC_DTYPE = np.dtype([
+    ("slot", np.int64),
     ("timestamp", np.float64),
 ])
-_END = np.array((-1, 0.0), _KF_DTYPE)
+_END = np.array((-1, 0.0), _REC_DTYPE)
 
 
 class StreamingRunner:
     def __init__(self, cfg: SlamConfig, traj_path: str | None = None,
-                 queue_capacity: int = 8, drop_policy: bool = False):
+                 queue_capacity: int = 64, drop_policy: bool = True):
         self.cfg = cfg
         self.mask = projection.detection_mask(cfg.sensor)
-        self.state = slam.init_state(cfg)
-        self.bstate = loop_mod.init_state(cfg)
-        self._front = jax.jit(
-            lambda st, x, i, t: slam.slam_step(st, x, i, t, self.mask, cfg))
-        self._backend = jax.jit(
-            lambda bst, x, m, d, dv, q, tt, ts: loop_mod.backend_step(
-                bst, x, m, d, dv, Pose(q, tt), ts, cfg))
-        self._chan = Channel(queue_capacity, _KF_DTYPE)
+        self.state = fused.init_state(cfg)
+        self._step = jax.jit(
+            lambda st, x, i, t: fused.fused_step(
+                st, x, i, t, self.mask, cfg),
+            donate_argnums=(0,),
+        )
+        self._traj_fn = jax.jit(lambda st: fused.trajectory(st, cfg))
+        self._chan = Channel(queue_capacity, _REC_DTYPE)
         self._drop = drop_policy
         self._slots: dict[int, tuple] = {}
         self._slots_mu = threading.Lock()
         self._traj = TrajectoryWriter(traj_path) if traj_path else None
-        self.loops: list[tuple[int, int, float]] = []
         self.num_frames = 0
-        self.num_keyframes = 0
-        self.num_skips = 0
-        self.frame_poses: list[tuple[np.ndarray, np.ndarray]] = []
 
-    # ---- back-end stream (loop closure + PGO) ------------------------------
-    def _backend_loop(self) -> None:
+    # ---- pose-writer stream (async device->host readback + file IO) -------
+    def _writer_loop(self) -> None:
         while True:
             rec = self._chan.pop(timeout_ms=-1)
-            if rec is None or int(rec["kf_slot"]) < 0:
+            if rec is None or int(rec["slot"]) < 0:
                 return
-            slot = int(rec["kf_slot"])
+            slot = int(rec["slot"])
             with self._slots_mu:
-                xyz, valid, desc, dvalid, q, t = self._slots.pop(slot)
-            self.bstate, bout = self._backend(
-                self.bstate, xyz, valid, desc, dvalid, q, t,
-                jnp.asarray(rec["timestamp"], jnp.float32))
-            if bool(bout.loop_found):
-                self.loops.append(
-                    (slot, int(bout.loop_idx), float(bout.icp_fitness)))
+                q_dev, t_dev = self._slots.pop(slot)
+            # np.asarray blocks until THIS frame's step finished — on the
+            # writer thread, never the dispatch thread
+            self._traj.append(float(rec["timestamp"]),
+                              np.asarray(t_dev), np.asarray(q_dev))
 
-    # ---- front-end stream ----------------------------------------------------
+    # ---- dispatch stream ---------------------------------------------------
     def run(self, log: ScanLog, start: int = 0, end: int | None = None,
             depth: int = 4,
-            on_frame: Callable[[int, slam.SlamOutput], None] | None = None,
+            on_frame: Callable[[int, fused.FrameInfo], None] | None = None,
             ) -> dict:
-        backend_th = threading.Thread(target=self._backend_loop,
-                                      name="islam-backend")
-        backend_th.start()
+        writer_th = None
+        if self._traj:
+            writer_th = threading.Thread(target=self._writer_loop,
+                                         name="islam-traj-writer")
+            writer_th.start()
+        dropped_writes = 0
         try:
             for fr in log.stream(start, end, depth):
                 xyz = jnp.asarray(fr.xyz)
                 inten = jnp.asarray(fr.intensity)
-                self.state, out = self._front(
+                self.state, info = self._step(
                     self.state, xyz, inten,
                     jnp.asarray(fr.timestamp, jnp.float32))
                 self.num_frames += 1
-                self.num_skips += bool(out.skip)
-                if bool(out.is_keyframe):
-                    kf = self.num_keyframes
-                    self.num_keyframes += 1
-                    scan_valid = (jnp.linalg.norm(xyz, axis=-1)
-                                  >= self.cfg.sensor.min_range)
-                    with self._slots_mu:
-                        self._slots[kf] = (xyz, scan_valid, out.desc,
-                                           out.desc_valid, out.pose.q,
-                                           out.pose.t)
-                    rec = np.array((kf, fr.timestamp), _KF_DTYPE)
-                    if not self._chan.push(rec, drop_oldest=self._drop):
-                        # bounded-latency mode off: wait for the back-end
-                        while not self._chan.push(rec):
-                            pass
-                q = np.asarray(out.pose.q)
-                t = np.asarray(out.pose.t)
-                self.frame_poses.append((q, t))
                 if self._traj:
-                    self._traj.append(fr.timestamp, t, q)
+                    # live TUM stream carries positions (orientation is in
+                    # the corrected export, write_corrected_trajectory)
+                    with self._slots_mu:
+                        self._slots[fr.index] = (
+                            jnp.array([1.0, 0, 0, 0], jnp.float32),
+                            info.pose_t)
+                    rec = np.array((fr.index, fr.timestamp), _REC_DTYPE)
+                    if not self._chan.push(rec, drop_oldest=self._drop):
+                        dropped_writes += 1
+                        with self._slots_mu:
+                            self._slots.pop(fr.index, None)
                 if on_frame is not None:
-                    on_frame(fr.index, out)
+                    on_frame(fr.index, info)
         finally:
-            self._chan.push(_END)
-            backend_th.join()
-            self._chan.close()
             if self._traj:
+                self._chan.push(_END, drop_oldest=True)
+                writer_th.join()
                 self._traj.close()
+            self._chan.close()
+        backend = self.state.backend
         return {
             "frames": self.num_frames,
-            "keyframes": self.num_keyframes,
-            "skips": self.num_skips,
-            "loops": self.loops,
-            "dropped_keyframes": self._chan.dropped,
+            "keyframes": int(backend.num_kf),
+            "skips": int(self.state.log.num_skips),
+            "loops": int(backend.graph.num_loops),
+            "dropped_pose_writes": self._chan.dropped + dropped_writes,
         }
+
+    # ---- corrected trajectory export (updatePoses semantics) ---------------
+    def trajectory(self) -> np.ndarray:
+        """(T, 3) PGO-corrected positions from the device log."""
+        q, t, n = self._traj_fn(self.state)
+        return np.asarray(t)[: int(n)]
+
+    def write_corrected_trajectory(self, path: str,
+                                   timestamps=None) -> None:
+        """Write the PGO-corrected trajectory as TUM (the reference's
+        `updatePoses`-rewritten keypose export, `intensity_feature_tracker
+        .cpp:110-145,555-582` — the live TUM stream is pre-PGO)."""
+        q, t, n = self._traj_fn(self.state)
+        n = int(n)
+        q = np.asarray(q)[:n]
+        t = np.asarray(t)[:n]
+        with TrajectoryWriter(path) as w:
+            for i in range(n):
+                ts = float(timestamps[i]) if timestamps is not None else i * 0.1
+                w.append(ts, t[i], q[i])
+
+    @property
+    def loops(self) -> list[tuple[int, int]]:
+        g = self.state.backend.graph
+        valid = np.asarray(g.loop_valid)
+        li, lj = np.asarray(g.loop_i), np.asarray(g.loop_j)
+        return [(int(a), int(b))
+                for a, b, v in zip(li, lj, valid) if v]

@@ -45,25 +45,42 @@ def save(path: str, state) -> None:
     os.replace(tmp, path)  # atomic
 
 
-def restore(path: str, template):
+def restore(path: str, template, strict: bool = False):
     """Load a checkpoint saved by `save` into the structure of `template`.
 
-    Shapes and dtypes must match the template (fixed-shape state makes this
-    exact across sessions as long as the config is unchanged).
+    Leaves are matched BY KEY PATH, not position: fields added to a state
+    pytree after a checkpoint was written simply keep their template value
+    (with a warning), so old checkpoints stay loadable across additive state
+    evolution.  Shapes of matched leaves must agree exactly.  With
+    `strict=True` any missing or extra path raises instead.
     """
-    with np.load(path) as data:
-        keys = sorted(data.files, key=lambda s: int(s.split("|")[0]))
-        arrays = [data[k] for k in keys]
-    leaves, treedef = jax.tree_util.tree_flatten(template)
-    if len(arrays) != len(leaves):
-        raise ValueError(
-            f"checkpoint has {len(arrays)} leaves, template has {len(leaves)}"
-            " — config/shape mismatch")
-    for a, l in zip(arrays, leaves):
-        if tuple(a.shape) != tuple(l.shape):
-            raise ValueError(f"shape mismatch: ckpt {a.shape} vs template {l.shape}")
+    import warnings
+
     import jax.numpy as jnp
 
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(a, dtype=l.dtype) for a, l in zip(arrays, leaves)]
-    )
+    with np.load(path) as data:
+        by_path = {k.split("|", 1)[1]: data[k] for k in data.files}
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    out, missing = [], []
+    for kp, leaf in leaves:
+        key = _path_str(kp)
+        a = by_path.pop(key, None)
+        if a is None:
+            missing.append(key)
+            out.append(leaf)
+            continue
+        if tuple(a.shape) != tuple(leaf.shape):
+            raise ValueError(
+                f"shape mismatch at {key}: ckpt {a.shape} vs "
+                f"template {leaf.shape}")
+        out.append(jnp.asarray(a, dtype=leaf.dtype))
+    if missing or by_path:
+        msg = (f"checkpoint {path}: {len(missing)} template leaves not in "
+               f"checkpoint (kept template values): {missing[:4]}...; "
+               f"{len(by_path)} checkpoint leaves unused: "
+               f"{list(by_path)[:4]}...")
+        if strict:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
+    _, plain_treedef = jax.tree_util.tree_flatten(template)
+    return jax.tree_util.tree_unflatten(plain_treedef, out)

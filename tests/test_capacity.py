@@ -172,13 +172,16 @@ def test_system_survives_2x_keyframe_capacity():
     xyz, inten = jax.jit(lambda q, t: synthetic.render_sequence(
         se3.Pose(q, t), world, cfg.sensor))(poses.q, poses.t)
     sys_ = SlamSystem(cfg)
-    with warnings.catch_warnings(record=True) as wrec:
-        warnings.simplefilter("always")
-        for k in range(T):
-            sys_.process(xyz[k], inten[k], 0.1 * k)
-    assert any("keyframe store full" in str(w.message) for w in wrec)
+    for k in range(T):
+        sys_.process(xyz[k], inten[k], 0.1 * k)
+    # the device decimated the store (and remapped the log's governing-
+    # keyframe ids) in-graph; the host mirrors lazily through accessors
+    assert sys_.num_keyframes > cfg.loop.max_keyframes // 2
     assert len(sys_.kf_map_pose) == int(sys_.bstate.num_kf)
     assert len(sys_.kf_map_pose) <= cfg.loop.max_keyframes
+    # every logged frame's governing keyframe id must be a live slot
+    log_kf = np.asarray(sys_.state.log.kf[:T])
+    assert (log_kf >= 0).all() and (log_kf < int(sys_.bstate.num_kf)).all()
     traj = sys_.trajectory()
     assert np.isfinite(traj).all()
     assert traj.shape[0] == T

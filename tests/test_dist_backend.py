@@ -158,6 +158,46 @@ def test_full_refine_sharded_matches_unsharded(live_state, cfg, mesh):
     assert steps.max() < 3.0
 
 
+def test_online_refine_improves_live_trajectory(cfg, mesh):
+    """The distributed back-end ONLINE (VERDICT r2 item 5): the live system
+    runs with a deliberately under-solved on-device PGO (1 GN iteration —
+    loop edges land but the global correction is left incomplete), then
+    hands its keyframe store to the mesh-sharded refine; the refined, re-
+    adopted live trajectory must measurably improve."""
+    cfg2 = cfg.replace(
+        loop=dataclasses.replace(cfg.loop, pgo_gn_iters=1),
+    )
+    world = synthetic.corridor_world()
+    poses = _loop_trajectory()
+    T = poses.q.shape[0]
+    xyz, inten = jax.jit(
+        lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world,
+                                               cfg2.sensor)
+    )(poses.q, poses.t)
+    sys_ = SlamSystem(cfg2, mesh=mesh)
+    for k in range(T):
+        sys_.process(xyz[k], inten[k], k * 0.1)
+    assert int(sys_.bstate.num_kf) >= 8
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = np.asarray(jax.vmap(
+        lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+    )(poses.q, poses.t))
+
+    def ate(est):
+        n = min(len(est), len(gt))
+        d = est[:n] - gt[:n]
+        return float(np.sqrt(np.mean(np.sum(d * d, -1))))
+
+    ate_before = ate(sys_.trajectory())
+    sys_.refine()          # sharded BA + PGO over the mesh, adopted back
+    ate_after = ate(sys_.trajectory())
+    assert np.isfinite(ate_after)
+    assert ate_after <= ate_before + 1e-6, (ate_before, ate_after)
+    # the full solve must recover a real fraction of the under-corrected
+    # error (not merely "run")
+    assert ate_after < max(0.75 * ate_before, 0.05), (ate_before, ate_after)
+
+
 def test_sharded_keyframe_store_roundtrip(live_state, mesh, cfg):
     st = dist_backend.shard_backend_state(live_state, mesh)
     # keyframe-major arrays are physically sharded over the mesh

@@ -1,0 +1,117 @@
+"""Sensor-realism model tests (VERDICT r2 item 3): range noise, intensity
+speckle, beam dropout, per-column motion distortion (+ its undistortion),
+and dynamic objects in the synthetic renderer."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intensity_slam_tpu import config
+from intensity_slam_tpu.io import synthetic
+from intensity_slam_tpu.pipeline import odometry, slam
+from intensity_slam_tpu.utils import se3
+
+
+def _cfg():
+    return config.small_test_config()
+
+
+def test_noise_model_statistics():
+    """Range sigma / speckle / dropout must actually appear in the data at
+    the configured magnitudes."""
+    cfg = _cfg()
+    world = synthetic.corridor_world()
+    pose = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([5.0, 0.0, 0.8]))
+    clean_xyz, clean_i = synthetic.render_scan(pose, world, cfg.sensor)
+    noise = synthetic.SensorNoise(range_sigma=0.05, intensity_speckle=0.2,
+                                  dropout_rate=0.1)
+    nx, ni = synthetic.render_scan(pose, world, cfg.sensor, noise=noise,
+                                   key=jax.random.PRNGKey(0))
+    clean_r = np.linalg.norm(np.asarray(clean_xyz), axis=-1)
+    noisy_r = np.linalg.norm(np.asarray(nx), axis=-1)
+    both = (clean_r > 0.1) & (noisy_r > 0.1)
+    dr = (noisy_r - clean_r)[both]
+    assert 0.03 < dr.std() < 0.08, dr.std()       # ~range_sigma
+    assert abs(dr.mean()) < 0.01
+    # dropout: ~10% of clean-valid beams go invalid
+    drop = ((clean_r > 0.1) & (noisy_r <= 0.1)).sum() / (clean_r > 0.1).sum()
+    assert 0.05 < drop < 0.15, drop
+    # speckle: multiplicative, so log-intensity std ~0.2 where both valid
+    li = np.log(np.asarray(ni)[both] / np.asarray(clean_i)[both])
+    assert 0.1 < li.std() < 0.3, li.std()
+
+
+def test_undistort_inverts_rendered_distortion():
+    """Render with true per-column firing poses, undistort with the true
+    per-scan delta -> the undistorted points, mapped through the scan-START
+    pose, must land exactly on the renderer's true WORLD hit points (the
+    `sensor.undistort` path exercised against real rolling-shutter data,
+    A-LOAM TransformToStart model `laserOdometry.cpp:147-194`).
+
+    World-space comparison, not per-column: a corridor is nearly invariant
+    under sliding/rotating the sensor, so same-index local points can agree
+    while the world geometry is metres off."""
+    cfg = _cfg()
+    world = synthetic.corridor_world()
+    pose = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([5.0, 0.0, 0.8]))
+    # fast forward + yaw motion over one scan: strong distortion
+    delta = se3.Pose(se3.so3_exp(jnp.array([0.0, 0.0, 0.06])),
+                     jnp.array([0.5, 0.0, 0.0]))
+    x_dist, _, p_world = synthetic.render_scan(
+        pose, world, cfg.sensor, delta=delta, return_world=True)
+    x_fixed = slam.undistort_scan(x_dist, delta, cfg)
+    valid = np.linalg.norm(np.asarray(x_dist), axis=-1) > 0.1
+    w_naive = np.asarray(se3.transform_points(pose, x_dist))
+    w_fixed = np.asarray(se3.transform_points(pose, x_fixed))
+    pw = np.asarray(p_world)
+    err_naive = np.linalg.norm((w_naive - pw)[valid], axis=-1)
+    err_fixed = np.linalg.norm((w_fixed - pw)[valid], axis=-1)
+    # without undistortion the assembled cloud is off by the intra-scan
+    # motion (grows with column index and range under yaw)
+    assert np.median(err_naive) > 0.1, np.median(err_naive)
+    # with it, the model matches the renderer's firing poses exactly
+    assert np.max(err_fixed) < 2e-2, np.max(err_fixed)
+    assert np.median(err_fixed) < np.median(err_naive) * 0.05
+
+
+def test_dynamic_object_moves_between_frames():
+    cfg = _cfg()
+    world = synthetic.circuit_world(dynamic=True)
+    pose = se3.Pose(jnp.array([1.0, 0, 0, 0]), jnp.array([25.0, 0.0, 0.8]))
+    x0, _ = synthetic.render_scan(pose, world, cfg.sensor, frame_time=0.0)
+    x1, _ = synthetic.render_scan(pose, world, cfg.sensor, frame_time=4.0)
+    r0 = np.linalg.norm(np.asarray(x0), axis=-1)
+    r1 = np.linalg.norm(np.asarray(x1), axis=-1)
+    both = (r0 > 0.1) & (r1 > 0.1)
+    # the walking box (0.5 m/s) changes a measurable set of ranges
+    changed = (np.abs(r0 - r1)[both] > 0.2).sum()
+    assert changed > 50, changed
+
+
+def test_odometry_survives_noisy_sequence():
+    """Full per-frame pipeline over a NOISY corridor: ATE stays bounded and
+    the system doesn't collapse into skips (the gap between 'works on
+    geometry-class data' and 'works')."""
+    cfg = _cfg()
+    world = synthetic.corridor_world()
+    T = 16
+    poses = synthetic.corridor_trajectory(T, speed=0.4)
+    noise = synthetic.SensorNoise(range_sigma=0.03, intensity_speckle=0.1,
+                                  dropout_rate=0.02)
+    xyz, inten = jax.jit(lambda q, t: synthetic.render_sequence(
+        se3.Pose(q, t), world, cfg.sensor, noise=noise,
+        key=jax.random.PRNGKey(7)))(poses.q, poses.t)
+    times = jnp.arange(T, dtype=jnp.float32) * cfg.sensor.scan_period
+    outs = jax.jit(lambda x, i, t: slam.run_sequence(x, i, t, cfg))(
+        xyz, inten, times)
+    skips = int(np.asarray(outs.skip).sum())
+    assert skips <= T // 2, f"noise collapsed the front-end: {skips}/{T}"
+    p0 = se3.Pose(poses.q[0], poses.t[0])
+    gt = jax.vmap(lambda q, t: se3.compose(se3.inverse(p0),
+                                           se3.Pose(q, t)).t)(poses.q, poses.t)
+    ate = float(odometry.ate_rmse(outs.pose.t, gt))
+    path = float(np.linalg.norm(np.diff(np.asarray(gt), axis=0),
+                                axis=-1).sum())
+    assert ate < max(0.04 * path, 0.4), (ate, path)

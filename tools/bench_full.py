@@ -9,8 +9,8 @@ covers the rest of the system so perf work targets the real hotspot
     robust GN -> ground -> scan-to-map)                     [scans/s]
   * back-end `backend_step` steady-state (ScanContext + BoW + radius loop
     channels -> ICP verify -> PGO solve)                    [keyframes/s]
-  * `StreamingRunner` two-thread end-to-end over a native scan log
-    (prefetcher + front stream + backend stream + traj writer) [scans/s]
+  * `StreamingRunner` end-to-end over a native scan log (prefetcher +
+    fused in-graph front+back step + async pose writer)      [scans/s]
 
 Writes RESULTS_full_bench.json and prints a human table.  Not the driver's
 bench entry point — `bench.py` stays the single-JSON-line headline.
@@ -126,13 +126,13 @@ def main() -> None:
                 dt = time.perf_counter() - t0
             return stats, dt
 
-        run_once()                      # compile both streams
+        run_once()                      # compile the fused step
         stats, dt = run_once()          # steady-state
         results["streaming_scans_per_sec"] = frames / dt
         results["streaming_keyframes"] = stats["keyframes"]
-        results["streaming_loops"] = len(stats["loops"])
+        results["streaming_loops"] = stats["loops"]
         print(f"streaming e2e      {frames / dt:9.1f} scans/s "
-              f"({stats['keyframes']} kf, {len(stats['loops'])} loops)")
+              f"({stats['keyframes']} kf, {stats['loops']} loops)")
 
     # vs the reference's 10 Hz real-time claim (README.md:2,13-20)
     results["vs_baseline_frontend"] = results["frontend_scans_per_sec"] / 10.0

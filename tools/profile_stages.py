@@ -80,8 +80,44 @@ def main():
 
     mapstep = jax.jit(lambda ms, x, gm, c, cm, p: mapping.mapping_step(
         ms, x, gm, c, cm, p, cfg))
-    timeit("mapping_step", mapstep, state.mapping, x0, gres.ground_mask,
-           fc.less_sharp, fc.less_sharp_mask, state.merged_pose)
+    mout = timeit("mapping_step", mapstep, state.mapping, x0, gres.ground_mask,
+                  fc.less_sharp, fc.less_sharp_mask, state.merged_pose)
+
+    # ---- keyframe back-end (detect channels + cond'ed ICP/PGO) ------------
+    from intensity_slam_tpu.pipeline import fused
+    from intensity_slam_tpu.pipeline import loop as loop_mod
+    from intensity_slam_tpu.utils.se3 import Pose
+
+    _, mo = mout
+    bstate = loop_mod.init_state(cfg)
+    bstep = jax.jit(lambda bs, x, m, d, dv, q, tt, ts: loop_mod.backend_step(
+        bs, x, m, d, dv, Pose(q, tt), ts, cfg,
+        feat_xyz=out.feat_xyz, ground_pts=mo.ground_ds,
+        ground_mask=mo.ground_ds_mask, corner_pts=mo.corner_ds,
+        corner_mask=mo.corner_ds_mask))
+    sm = jnp.linalg.norm(x0, axis=-1) >= cfg.sensor.min_range
+    bstate, _ = bstep(bstate, x0, sm, out.desc, out.desc_valid,
+                      out.pose.q, out.pose.t, t0)
+    timeit("backend_step (keyframe)", bstep, bstate, x0, sm, out.desc,
+           out.desc_valid, out.pose.q, out.pose.t, t0)
+
+    # ---- the fused per-frame program (what the live system dispatches) ----
+    fstep = jax.jit(lambda fs, x, i, t: fused.fused_step(fs, x, i, t, mask,
+                                                         cfg))
+    fstate = fused.init_state(cfg)
+    for k in range(8):
+        fstate, finfo = fstep(fstate, xyz[k], inten[k],
+                              jnp.float32(k * cfg.sensor.scan_period))
+    jax.block_until_ready(finfo.num_kf)
+    # non-keyframe frame: timestamp just after the last (dt < 0.3 s)
+    timeit("fused_step (non-keyframe)", fstep, fstate, x0, i0,
+           jnp.float32(0.72))
+    # keyframe frame: large dt (keyframe iff the spatial gate also passes —
+    # printed so the reader knows which branch this timed)
+    fs2, fi2 = fstep(fstate, x0, i0, jnp.float32(9.0))
+    print(f"  (keyframe-branch probe: is_keyframe={bool(fi2.is_keyframe)})")
+    timeit("fused_step (kf-gate frame)", fstep, fstate, x0, i0,
+           jnp.float32(9.0))
 
 
 if __name__ == "__main__":

@@ -49,6 +49,17 @@ def main() -> int:
                     help="write benchmark results JSON to this path")
     ap.add_argument("--no-textureless", action="store_true",
                     help="benchmark world without the degenerate span")
+    ap.add_argument("--noise", action="store_true",
+                    help="stochastic sensor model: range sigma, intensity "
+                         "speckle, beam dropout (io.synthetic.SensorNoise)")
+    ap.add_argument("--dynamic", action="store_true",
+                    help="add moving objects to the benchmark world")
+    ap.add_argument("--distort", action="store_true",
+                    help="render per-column firing poses (true motion "
+                         "distortion); pair with sensor.undistort")
+    ap.add_argument("--undistort", action="store_true",
+                    help="enable the constant-velocity undistortion path "
+                         "(sensor.undistort=True)")
     ap.add_argument("--pipeline", choices=["system", "slam", "odometry"],
                     default="slam",
                     help="system = full SLAM + loop closure + PGO (host-"
@@ -56,6 +67,11 @@ def main() -> int:
     args = ap.parse_args()
 
     cfg = config.small_test_config() if args.small else config.SlamConfig()
+    if args.undistort:
+        import dataclasses
+
+        cfg = cfg.replace(
+            sensor=dataclasses.replace(cfg.sensor, undistort=True))
 
     if args.npz:
         data = np.load(args.npz)
@@ -67,14 +83,21 @@ def main() -> int:
         if args.frames == 40:   # default too short for the circuit
             args.frames = 420
         args.pipeline = "system"
-        world = synthetic.circuit_world(textureless=not args.no_textureless)
+        world = synthetic.circuit_world(
+            textureless=not args.no_textureless, dynamic=args.dynamic)
         poses = synthetic.circuit_trajectory(args.frames, speed=0.4)
-        render = jax.jit(lambda q, t: synthetic.render_sequence(
-            se3.Pose(q, t), world, cfg.sensor))
+        noise = synthetic.DEFAULT_NOISE if args.noise else None
+        render = jax.jit(lambda q, t, s, key: synthetic.render_sequence(
+            se3.Pose(q, t), world, cfg.sensor,
+            distort=args.distort, noise=noise, key=key,
+            times=s * cfg.sensor.scan_period + cfg.sensor.scan_period
+            * jnp.arange(q.shape[0], dtype=jnp.float32)))
         chunks = []
         CH = 32   # render in chunks: the (F, H, W, B) slab tensors are large
         for s in range(0, args.frames, CH):
-            cx, ci = render(poses.q[s:s + CH], poses.t[s:s + CH])
+            key = jax.random.PRNGKey(1000 + s)
+            cx, ci = render(poses.q[s:s + CH], poses.t[s:s + CH],
+                            jnp.float32(s), key)
             chunks.append((np.asarray(cx), np.asarray(ci)))
         xyz = jnp.asarray(np.concatenate([c[0] for c in chunks]))
         inten = jnp.asarray(np.concatenate([c[1] for c in chunks]))
@@ -100,47 +123,84 @@ def main() -> int:
     if args.pipeline == "system":
         from intensity_slam_tpu.pipeline.system import SlamSystem
         sys_ = SlamSystem(cfg)
-        infos = []
+        # warmup/compile on frame 0 so steady-state timing is honest; the
+        # fused step compiles BOTH cond branches up front (no mid-run cliff)
+        t_c0 = time.perf_counter()
+        info = sys_.process(xyz[0], inten[0], float(times[0]))
+        jax.block_until_ready(info.num_kf)
+        compile_s = time.perf_counter() - t_c0
+        # timed run: pure async dispatch, block once per chunk — the per-
+        # frame host syncs the old driver paid tripled its front-end cost
+        CHUNK = 64
+        chunk_times = []
         t0 = time.perf_counter()
-        for k in range(T):
-            infos.append(sys_.process(xyz[k], inten[k], float(times[k])))
+        tc = t0
+        for k in range(1, T):
+            info = sys_.process(xyz[k], inten[k], float(times[k]))
+            if k % CHUNK == 0:
+                jax.block_until_ready(info.num_kf)
+                now = time.perf_counter()
+                chunk_times.append((k, now - tc))
+                tc = now
+        jax.block_until_ready(info.num_kf)
         dt = time.perf_counter() - t0
         traj = jnp.asarray(sys_.trajectory())
-        print(f"frames: {T}  time: {dt:.2f}s ({T/dt:.1f} scans/s incl. compile)")
-        print(f"skips: {sys_.num_skips}  keyframes: {len(sys_.kf_map_pose)}"
-              f"  loops: {sys_.loops}")
+        loops = sys_.loops
+        print(f"frames: {T}  time: {dt:.2f}s ({(T-1)/dt:.1f} scans/s; "
+              f"compile+first {compile_s:.1f}s)")
+        print(f"skips: {sys_.num_skips}  keyframes: {sys_.num_keyframes}"
+              f"  loops: {loops}")
         print(f"final pose t: {np.asarray(traj[-1]).round(3).tolist()}")
         est_t = traj
         if args.out or args.benchmark:
             import json
 
-            tf = sorted(i["t_front"] for i in infos[2:])
-            tb = sorted(i["t_backend"] for i in infos if "t_backend" in i)
+            # steady state = all chunks after the first quarter
+            steady = chunk_times[len(chunk_times) // 4:]
+            steady_sps = (sum(CHUNK for _ in steady)
+                          / max(sum(t for _, t in steady), 1e-9))
             gt_np = np.asarray(gt_t) if gt_t is not None else None
             est_np = np.asarray(est_t)
+            odo_np = sys_.odom_trajectory()
+            era_np = np.asarray([t for _, t in sys_.frame_poses])
+
+            def _ate(est):
+                if gt_np is None:
+                    return None
+                n = min(len(est), len(gt_np))
+                d = est[:n] - gt_np[:n]
+                return float(np.sqrt(np.mean(np.sum(d * d, -1))))
+
             results = {
                 "sequence": ("circuit" if args.benchmark else
                              (args.npz or "corridor")),
+                "sensor_model": {
+                    "noise": bool(args.noise),
+                    "dynamic_objects": bool(args.dynamic),
+                    "motion_distortion": bool(args.distort),
+                    "undistort_enabled": bool(args.undistort),
+                },
                 "frames": T,
                 "path_length_m": (float(np.linalg.norm(
                     np.diff(gt_np, axis=0), axis=-1).sum())
                     if gt_np is not None else None),
-                "ate_rmse_m": (float(odometry.ate_rmse(est_t, gt_t))
-                               if gt_t is not None else None),
+                # per-stage error diagnostic: raw merged odometry vs the
+                # live mapped/corrected frame poses vs the final PGO export
+                "ate_odometry_m": _ate(odo_np),
+                "ate_mapped_live_m": _ate(era_np),
+                "ate_rmse_m": _ate(est_np),
                 "end_error_m": (float(np.linalg.norm(est_np[-1] - gt_np[-1]))
                                 if gt_np is not None else None),
                 "skip_frames": sys_.num_skips,
                 "skip_rate": sys_.num_skips / T,
-                "keyframes": len(sys_.kf_map_pose),
-                "loop_closures": len(sys_.loops),
-                "loops": [[int(a), int(b), float(f)] for a, b, f in sys_.loops],
-                "scans_per_sec_incl_compile": T / dt,
-                "scans_per_sec_steady": len(infos[T // 4:]) / sum(
-                    i["t_front"] + i.get("t_backend", 0.0)
-                    for i in infos[T // 4:]),
-                "frontend_ms_median": 1e3 * tf[len(tf) // 2],
-                "backend_ms_median": (1e3 * tb[len(tb) // 2] if tb else None),
-                "backend_ms_max": (1e3 * tb[-1] if tb else None),
+                "keyframes": sys_.num_keyframes,
+                "loop_closures": len(loops),
+                "loops": [[int(a), int(b), float(f)] for a, b, f in loops],
+                "compile_plus_first_frame_s": compile_s,
+                "scans_per_sec_post_compile": (T - 1) / dt,
+                "scans_per_sec_steady": steady_sps,
+                "chunk_scans_per_sec": [
+                    [k, CHUNK / t] for k, t in chunk_times],
                 "platform": jax.devices()[0].platform,
             }
             out_path = args.out or "RESULTS_benchmark.json"
