@@ -211,8 +211,19 @@ class LoopConfig:
     # kd-radius strategy (loop_closure_handler.cpp:42-84)
     radius_search_m: float = 7.0      # :68
     min_time_gap: float = 40.0        # :77
-    # iSAM2-replacement PGO solve
-    pgo_gn_iters: int = 8
+    # iSAM2-replacement PGO solve.  Each GN step's linear system is solved
+    # EXACTLY (dense relative-coordinate Cholesky, posegraph.optimize);
+    # measured convergence on the circuit graph is complete by iteration 2-3
+    # (the problem is mildly nonlinear), so 3 buys exactness without paying
+    # ~6144^3 Cholesky flops five more times per accepted loop.
+    pgo_gn_iters: int = 3
+    # run the full PGO solve ON-DEVICE at every accepted loop (the default,
+    # reference behavior: isam_->update per closure).  False = collect loop
+    # edges but defer the global solve to the distributed back-end
+    # (`parallel.dist_backend.refine`, config `refine_every_kf`) — the
+    # scale-out mode where keyframe-rate work stays light and a mesh does
+    # the heavy solves; no correction feedback happens until a refine.
+    online_pgo: bool = True
     # noise models, diag variances (rot, trans).  The reference uses
     # (1e-6,1e-6,1e-6,1e-8,1e-8,1e-6) for prior AND odometry
     # (`intensity_feature_tracker.cpp:41-47`) and per-axis variance =
@@ -230,9 +241,12 @@ class LoopConfig:
     # plausible-drift envelope the Cauchy residual is whitened by: real
     # odometry drift is bias-dominated, i.e. roughly LINEAR in distance
     # travelled — translation drift_rate (m/m) and rotation rad/m over the
-    # chain path between the loop endpoints (see posegraph.optimize)
-    loop_drift_rate: float = 0.08
-    loop_drift_rot_rate: float = 0.005
+    # chain path between the loop endpoints (see posegraph.optimize).
+    # 0.15 m/m: measured front-end drift on the NOISY corridor runs is
+    # ~0.12 m/m; a genuine loop must sit INSIDE the envelope (s < 1) or the
+    # robust weight starts eating the very correction the loop carries.
+    loop_drift_rate: float = 0.15
+    loop_drift_rot_rate: float = 0.01
     # chi^2 acceptance gate on a verified loop's implied correction against
     # the drift envelope: ScanContext matches between self-similar but
     # DIFFERENT places align geometrically (pass the fitness gate) yet
@@ -259,6 +273,14 @@ class ParallelConfig:
     # triggers it; the refined graph re-enters the device state through
     # `pipeline.fused.adopt_graph`.
     refine_every_kf: int = 0
+    # write the Schur-BA pose estimates back over the PGO result.  Default
+    # OFF: on LiDAR-intensity feature tracks the BA's data association is
+    # far weaker evidence than ICP-verified loop closures + the PGO chain —
+    # measured on the out-and-back CPU-mesh test it DEGRADED the live
+    # trajectory (ATE 0.12 -> 1.27 m) while still reducing its own
+    # reprojection cost.  The BA pass still runs and returns the refined
+    # landmark map; flip this on for sensors whose tracks deserve it.
+    ba_pose_writeback: bool = False
 
 
 @dataclass(frozen=True)

@@ -123,13 +123,17 @@ def refine(
         prob, gn_iters=pc.ba_gn_iters, cg_iters=pc.ba_cg_iters
     )
 
-    # --- (c) write refined poses back (valid live nodes only; node 0 is the
-    # gauge anchor and padding slots are frozen inside the solve already)
-    live = (jnp.arange(g.node_valid.shape[0]) < state.num_kf)[:, None]
-    new_poses = jax.tree.map(
-        lambda ref, old: jnp.where(live, ref, old), res.poses, g.poses
-    )
-    g = g._replace(poses=new_poses)
+    # --- (c) optionally write BA poses back (valid live nodes only; node 0
+    # is the gauge anchor and padding slots are frozen inside the solve
+    # already).  Default off — see config.ParallelConfig.ba_pose_writeback:
+    # the PGO result (ICP-verified loops + odometry chain) is the stronger
+    # pose evidence; BA still refines and returns the landmark map.
+    if pc.ba_pose_writeback:
+        live = (jnp.arange(g.node_valid.shape[0]) < state.num_kf)[:, None]
+        new_poses = jax.tree.map(
+            lambda ref, old: jnp.where(live, ref, old), res.poses, g.poses
+        )
+        g = g._replace(poses=new_poses)
 
     L = prob.landmarks.shape[0]
     cnt = jax.ops.segment_sum(prob.obs_w, prob.obs_lm, num_segments=L)

@@ -3,22 +3,23 @@
 Two levels of distribution:
 
 1. `shard_graph` + `optimize_sharded` — placement-only: shard the node
-   arrays, jit the stock matrix-free solve, and let XLA partition it.  Fine
-   for demos; the partitioner's choices are opaque.
+   arrays, jit the stock solve, and let XLA partition it.  Fine for demos;
+   the partitioner's choices are opaque.
 2. `optimize_shmap` — the real component: a hand-written SPMD solve under
    `jax.shard_map` with explicit collectives, mirroring
    `pipeline.posegraph.optimize` exactly (same residuals, robust weights,
-   damping, retraction — the two agree to float tolerance).
+   dense relative-coordinate GN — the two agree to float tolerance).
 
 Sharding layout (scaling-book style: shard the big axis, replicate the
-small state): the EDGES are the work — each of the mesh's shards owns a
-slice of the odometry chain and of the loop-edge table and evaluates its
-residual block's J^T J products locally; the POSE VECTOR (K x 7 floats,
-tiny) is replicated, so cross-shard edge endpoints are local gathers.  The
-only communication is one `psum` of the (K, 6) normal-equation products per
-CG application — an all-reduce that rides ICI on a real slice.  The prior
-factor is evaluated on every shard at 1/sqrt(n) information so the psum
-reconstructs it exactly.
+small state): the LOOP-EDGE Jacobian work is the flops — each shard owns a
+slice of the loop-edge table, builds its slice's (E_s*6, 6K) Jacobian block
+and its contribution to the 6K x 6K normal equations locally; the POSE
+VECTOR (K x 7 floats, tiny) and the odometry chain terms are replicated.
+The only communication is ONE `psum` of the loop normal-equation
+contribution (H_loop, b_loop) per GN iteration — an all-reduce that rides
+ICI on a real slice.  Every shard then runs the identical dense Cholesky +
+associative-scan pose rebuild (`posegraph._dense_update`), so the output is
+replicated by construction.
 
 The reference's counterpart is single-threaded iSAM2 inside one process
 (`intensity_feature_tracker.cpp:516-528`); distribution has no reference
@@ -26,8 +27,6 @@ counterpart (SURVEY §7.10 north star).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -78,28 +77,6 @@ def _pad_to(a: jax.Array, n: int, fill) -> jax.Array:
     return jnp.concatenate([a, pad], axis=0)
 
 
-def _cg_fixed(A, b, iters: int):
-    """Fixed-trip-count conjugate gradients.  The library cg's
-    tolerance-checked while_loop defeats shard_map's replication inference
-    (its carry gets typed as device-varying); a fixed `scan` keeps every
-    value provably replicated AND compiles to a static TPU loop."""
-
-    def body(carry, _):
-        x, r, p, rr = carry
-        Ap = A(p)
-        alpha = rr / jnp.maximum(jnp.vdot(p, Ap), 1e-30)
-        x = x + alpha * p
-        r = r - alpha * Ap
-        rr_new = jnp.vdot(r, r)
-        beta = rr_new / jnp.maximum(rr, 1e-30)
-        return (x, r, r + beta * p, rr_new), None
-
-    x0 = jnp.zeros_like(b)
-    (x, _, _, _), _ = jax.lax.scan(
-        body, (x0, b, b, jnp.vdot(b, b)), None, length=iters)
-    return x
-
-
 def optimize_shmap(
     g: posegraph.PoseGraph,
     mesh,
@@ -108,35 +85,26 @@ def optimize_shmap(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
-    drift_rate: float = 0.08,
-    drift_rot_rate: float = 0.005,
+    drift_rate: float = 0.15,
+    drift_rot_rate: float = 0.01,
     axis: str = "data",
 ) -> posegraph.PoseGraph:
-    """SPMD pose-graph solve: edges sharded over `axis`, poses replicated,
-    normal-equation products psum-reduced.  Numerically equivalent to
+    """SPMD pose-graph solve: loop edges sharded over `axis`, poses and the
+    odometry chain replicated; one psum of the (6K, 6K) loop normal
+    equations per GN iteration.  Numerically equivalent to
     `posegraph.optimize` (same per-edge math; only the reduction order
-    differs)."""
+    differs).  `cg_iters` is retained for API compatibility and ignored
+    (the dense Cholesky solve is exact)."""
     n = mesh.shape[axis]
     K = g.node_valid.shape[0]
     E = g.loop_valid.shape[0]
-    Kp = -(-K // n) * n
     Ep = -(-E // n) * n
     scale = 1e-3  # matches posegraph.optimize's conditioning scale
-    pr_si = (1.0 / jnp.sqrt(jnp.asarray(prior_noise, jnp.float32))) * scale
-    pr_si_shard = pr_si / jnp.sqrt(float(n))
     odo_var = jnp.asarray(odo_noise, jnp.float32)
 
-    def shard_solve(pq, pt, node_valid,
-                    oi, oq, ot, omask, osi,
-                    li, lj, lq, lt, lsi, lval, lenv):
-        def retract(poses, x):
-            p = Pose(
-                q=se3.quat_normalize(
-                    se3.quat_mul(poses.q, se3.so3_exp(x[:, :3]))),
-                t=poses.t + se3.quat_rotate(poses.q, x[:, 3:]),
-            )
-            return p
-
+    def shard_solve(pq, pt, node_valid, odo_ok,
+                    oq, ot, osi,
+                    li, lj, lq, lt, lsi, lenv):
         def gn_step(poses, _):
             if loop_cauchy_c > 0:
                 Tli = jax.tree.map(lambda a: a[li], poses)
@@ -152,43 +120,19 @@ def optimize_shmap(
             else:
                 lsi_eff = lsi * scale
 
-            def r_of(x):
-                p = retract(poses, x)
-                r_pr = pr_si_shard * se3.se3_log(
-                    jax.tree.map(lambda a: a[0], p))
-                Ti = jax.tree.map(lambda a: a[oi], p)
-                Tim1 = jax.tree.map(lambda a: a[jnp.maximum(oi - 1, 0)], p)
-                rel_est = se3.compose(se3.inverse(Tim1), Ti)
-                r_odo = se3.se3_log(
-                    se3.compose(se3.inverse(Pose(oq, ot)), rel_est))
-                r_odo = jnp.where(omask[:, None], r_odo * osi, 0.0)
-                Tl_i = jax.tree.map(lambda a: a[li], p)
-                Tl_j = jax.tree.map(lambda a: a[lj], p)
-                rel = se3.compose(se3.inverse(Tl_i), Tl_j)
-                r_loop = se3.se3_log(
-                    se3.compose(se3.inverse(Pose(lq, lt)), rel))
-                r_loop = jnp.where(lval[:, None], r_loop * lsi_eff, 0.0)
-                return jnp.concatenate(
-                    [r_pr[None, :], r_odo, r_loop], axis=0).reshape(-1)
-
-            x0 = jnp.zeros((K, 6))
-            r0 = r_of(x0)
-
-            def Jv(v):
-                return jax.jvp(r_of, (x0,), (v,))[1]
-
-            _, vjp = jax.vjp(r_of, x0)
-
-            def A(v):
-                return jax.lax.psum(vjp(Jv(v))[0], axis) + 1e-8 * v
-
-            b = jax.lax.psum(vjp(r0)[0], axis)
-            dx = _cg_fixed(A, -b, cg_iters)
-            new_poses = retract(poses, dx)
-            new_poses = jax.tree.map(
-                lambda a, o: jnp.where(node_valid[:, None], a, o),
-                new_poses, poses,
-            )
+            Tprev = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0), poses)
+            rel_est = se3.compose(se3.inverse(Tprev), poses)
+            r_odo, J_odo = posegraph._edge_jacobians(
+                rel_est, Pose(oq, ot), osi * odo_ok[:, None])
+            r_loop, M = posegraph._loop_jacobians(
+                poses, li, lj, Pose(lq, lt), lsi_eff)
+            Es = lsi_eff.shape[0]
+            Mf = M.transpose(0, 2, 1, 3).reshape(Es * 6, K * 6)
+            # THE collective: one all-reduce of the loop normal equations
+            Hl = jax.lax.psum(Mf.T @ Mf, axis)
+            bl = jax.lax.psum(Mf.T @ r_loop.reshape(-1), axis)
+            new_poses = posegraph._dense_update(
+                poses, node_valid, odo_ok, rel_est, r_odo, J_odo, Hl, bl)
             return new_poses, None
 
         poses, _ = jax.lax.scan(
@@ -197,28 +141,17 @@ def optimize_shmap(
 
     @jax.jit
     def run(g: posegraph.PoseGraph) -> posegraph.PoseGraph:
-        idx = jnp.arange(Kp)
-        omask = (
-            _pad_to(g.node_valid, Kp, False)
-            & (idx >= 1) & (idx < g.num_nodes)
-        )
-        oi = jnp.minimum(idx, K - 1).astype(jnp.int32)
-        oq = _pad_to(g.odo_rel.q, Kp, 0.0).at[K:, 0].set(1.0) \
-            if Kp > K else g.odo_rel.q
-        ot = _pad_to(g.odo_rel.t, Kp, 0.0)
+        idx_k = jnp.arange(K)
+        odo_ok = g.node_valid & (idx_k >= 1) & (idx_k < g.num_nodes)
         lval = _pad_to(g.loop_valid, Ep, False)
         li = jnp.clip(_pad_to(g.loop_i, Ep, 0), 0, K - 1)
         lj = jnp.clip(_pad_to(g.loop_j, Ep, 0), 0, K - 1)
         lq = _pad_to(g.loop_rel.q, Ep, 0.0).at[E:, 0].set(1.0) \
             if Ep > E else g.loop_rel.q
         lt = _pad_to(g.loop_rel.t, Ep, 0.0)
-        lsi = _pad_to(g.loop_sqrt_info, Ep, 0.0)
-        # plausible-drift Cauchy envelope per loop edge (matches
-        # posegraph.optimize: linear-in-path drift + random-walk floor)
-        idx_k = jnp.arange(K)
+        lsi = _pad_to(g.loop_sqrt_info, Ep, 0.0) * lval[:, None]
         step_len = jnp.where(
-            g.node_valid & (idx_k >= 1) & (idx_k < g.num_nodes),
-            jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
+            odo_ok, jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
         # per-edge odometry sqrt-information: random-walk floor + linear
         # bias-drift in step length (matches posegraph.optimize exactly)
         odo_var_edge = odo_var[None, :] + jnp.concatenate([
@@ -226,7 +159,9 @@ def optimize_shmap(
                              (K, 3)),
             jnp.broadcast_to((drift_rate * step_len[:, None]) ** 2, (K, 3)),
         ], axis=-1)
-        osi = _pad_to(scale / jnp.sqrt(odo_var_edge), Kp, 0.0)
+        osi = scale / jnp.sqrt(odo_var_edge)
+        # plausible-drift Cauchy envelope per loop edge (matches
+        # posegraph.optimize: linear-in-path drift + random-walk floor)
         cum_len = jnp.cumsum(step_len)
         path_e = jnp.maximum(jnp.abs(cum_len[li] - cum_len[lj]), 1.0)
         n_e = jnp.maximum(jnp.abs(li - lj).astype(jnp.float32), 1.0)
@@ -242,17 +177,17 @@ def optimize_shmap(
             shard_solve,
             mesh=mesh,
             in_specs=(
-                P(), P(), P(),                 # poses q/t, node_valid (rep)
-                P(axis), P(axis), P(axis), P(axis), P(axis),  # odo edges
-                P(axis), P(axis), P(axis), P(axis), P(axis), P(axis),
-                P(axis),                              # loop edges + envelope
+                P(), P(), P(), P(),        # poses q/t, node_valid, odo_ok
+                P(), P(), P(),             # odo chain (replicated)
+                P(axis), P(axis), P(axis), P(axis), P(axis),
+                P(axis),                   # loop edges + envelope (sharded)
             ),
             out_specs=(P(), P()),
         )
         q, t = solve(
-            g.poses.q, g.poses.t, g.node_valid,
-            oi, oq, ot, omask, osi,
-            li, lj, lq, lt, lsi, lval, lenv,
+            g.poses.q, g.poses.t, g.node_valid, odo_ok,
+            g.odo_rel.q, g.odo_rel.t, osi,
+            li, lj, lq, lt, lsi, lenv,
         )
         return g._replace(poses=Pose(q, t))
 

@@ -236,6 +236,18 @@ def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig
         se3.inverse(jax.tree.map(lambda a: a[k], backend.kf_raw)),
     )
     backend = loop_mod.apply_correction(backend, jnp.asarray(True), corr)
+    # frames of the CURRENT era are already in the log, expressed in the
+    # pre-adoption raw frame; re-basing kf_raw[k] above would orphan them
+    # (their export correction becomes identity), so move them into the
+    # corrected frame here — unlike an in-graph loop closure, whose era
+    # starts AT the corrected keyframe
+    log = state.log
+    era = (log.kf == k)[:, None]
+    moved = se3.compose(corr, Pose(log.q, log.t))
+    log = log._replace(
+        q=jnp.where(era, moved.q, log.q),
+        t=jnp.where(era, moved.t, log.t),
+    )
     mstate = mapping.apply_correction(state.slam.mapping, corr)
     if cfg.mapping.rebuild_on_loop:
         mstate = mapping.rebuild_maps(
@@ -243,5 +255,5 @@ def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig
             backend.kf_corner, backend.kf_corner_mask,
             backend.graph.poses, backend.num_kf, cfg)
     return state._replace(
-        slam=state.slam._replace(mapping=mstate), backend=backend
+        slam=state.slam._replace(mapping=mstate), backend=backend, log=log
     )

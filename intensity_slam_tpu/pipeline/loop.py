@@ -357,17 +357,28 @@ def backend_step(
             & (res.inlier_frac >= lc.icp_min_inlier_frac)
             & (chi2 <= lc.loop_gate_chi2)
         )
-        g2 = posegraph.add_loop(g, k, loop_idx, rel, res.fitness, lc)
-        g2 = posegraph.optimize(
-            g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
-            odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
-            loop_cauchy_c=lc.loop_cauchy_c,
-            drift_rate=lc.loop_drift_rate,
-            drift_rot_rate=lc.loop_drift_rot_rate,
-        )
-        g_out = jax.tree.map(
-            lambda a, b: jnp.where(accept, a, b), g2, g
-        )
+        # the PGO solve runs ONLY on acceptance: BoW proposes aggressively
+        # and relies on the ICP/chi2 gates to reject
+        # (`loop_closure_handler.cpp:142-143` semantics) — solving per
+        # CANDIDATE would pay the dense solve on every false proposal
+        # (measured: the r3 circuit run spent ~10 s of its 31 s inside
+        # rejected-candidate solves before this gate)
+        def do_close(gg):
+            g2 = posegraph.add_loop(gg, k, loop_idx, rel, res.fitness, lc)
+            if lc.online_pgo:
+                g2 = posegraph.optimize(
+                    g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
+                    odo_noise=lc.odom_noise, prior_noise=lc.prior_noise,
+                    loop_cauchy_c=lc.loop_cauchy_c,
+                    drift_rate=lc.loop_drift_rate,
+                    drift_rot_rate=lc.loop_drift_rot_rate,
+                )
+            # else: defer the global solve to the distributed back-end
+            # (config.LoopConfig.online_pgo); the edge is recorded, poses
+            # stay, correction below is ~identity
+            return g2
+
+        g_out = jax.lax.cond(accept, do_close, lambda gg: gg, g)
         T_new = jax.tree.map(lambda a: a[k], g_out.poses)
         # raw->PGO-frame correction: maps the live mapping frame (in which
         # map_pose was measured) into the post-solve graph frame; identity

@@ -10,11 +10,15 @@ Noise models (`:41-47`): prior/odometry diag variances
 (1e-6,1e-6,1e-6, 1e-8,1e-8,1e-6) (rot, trans), loop 1e-4 * fitness.
 
 TPU design: at SLAM scale (<=10^4 nodes) incrementality buys nothing on an
-accelerator — each update is a full batched Gauss-Newton solve.  Edge
-residuals evaluate in one vectorized pass; the normal equations are solved
-matrix-free with conjugate gradients using jvp/vjp Hessian-vector products
-(never materializing the 6K x 6K system); the gauge is fixed by the prior
-factor.  One solve after every loop closure reproduces iSAM2's
+accelerator — each update is a full batched Gauss-Newton solve, and the
+linear solve inside each GN step is a DENSE MXU Cholesky of the 6K x 6K
+normal equations built in RELATIVE (odometry-chain) coordinates: the chain
+contributes a block-diagonal Hessian, loop edges a low-rank term assembled
+as one matmul, so conditioning is benign and the solve is exact.  (The
+round-2 design used matrix-free CG in pose coordinates; a chain Hessian's
+condition grows as K^2 and CG carries a loop correction roughly one node
+per iteration, so 64 iterations silently left multi-meter loop residuals
+standing.)  One solve after every loop closure reproduces iSAM2's
 relinearization exactly (it IS full relinearization).
 """
 
@@ -228,6 +232,75 @@ def _edge_residuals(g: PoseGraph, poses: Pose, odo_sqrt_info, prior_sqrt_info):
     return jnp.concatenate([r_prior[None, :], r_odo, r_loop], axis=0).reshape(-1)
 
 
+def _edge_jacobians(rel_est: Pose, odo_rel: Pose, odo_si: jax.Array):
+    """Per-odometry-edge residuals and 6x6 Jacobians in the RELATIVE
+    parametrization rel_k' = rel_est_k o Exp(delta_k):
+    r_k = si_k * log(Z_k^-1 o rel_est_k o Exp(delta_k))."""
+
+    def res(rq, rt, zq, zt, si, xi):
+        # Exp(xi) as a Pose: rotation so3_exp, translation xi[3:] — matches
+        # the right-multiplicative retraction used everywhere else
+        rel = se3.compose(Pose(rq, rt), Pose(se3.so3_exp(xi[:3]), xi[3:]))
+        return si * se3.se3_log(
+            se3.compose(se3.inverse(Pose(zq, zt)), rel))
+
+    def r_and_J(rq, rt, zq, zt, si):
+        z6 = jnp.zeros(6)
+        r0 = res(rq, rt, zq, zt, si, z6)
+        J = jax.jacfwd(lambda xi: res(rq, rt, zq, zt, si, xi))(z6)
+        return r0, J
+
+    return jax.vmap(r_and_J)(rel_est.q, rel_est.t, odo_rel.q, odo_rel.t,
+                             odo_si)
+
+
+def _loop_jacobians(poses: Pose, loop_i, loop_j, loop_rel: Pose,
+                    loop_si: jax.Array):
+    """Loop residuals r_e = si_e * log(Z_e^-1 o T_i^-1 T_j) and their (E, K,
+    6, 6) Jacobian blocks M[e, k] w.r.t. the relative increments delta_k.
+
+    A perturbation delta_k at a chain position k strictly between the
+    endpoints inserts Exp(+-delta_k) at T_k inside T_i^-1 T_j:
+      i < j (forward edge):  T_i^-1 T_j -> (T_i^-1 T_k) Exp(+xi) (T_k^-1 T_j)
+      i > j (loop to past):  T_i^-1 T_j -> (T_i^-1 T_k) Exp(xi)^-1 (T_k^-1 T_j)
+    and d/dxi Exp(xi)^-1 |_0 = d/dxi Exp(-xi) |_0, so both cases are
+    r_e(xi) = si * log(Z^-1 (T_i^-1 T_k) Exp(s*xi) (T_k^-1 T_j)) with s=+-1,
+    evaluated by jacfwd exactly — no hand-derived adjoints to get wrong."""
+    K = poses.t.shape[0]
+    Ti = jax.tree.map(lambda a: a[loop_i], poses)     # [E]
+    Tj = jax.tree.map(lambda a: a[loop_j], poses)
+
+    def res(ti: Pose, tj: Pose, tk: Pose, zq, zt, si, sgn, xi):
+        left = se3.compose(se3.inverse(ti), tk)        # T_i^-1 T_k
+        right = se3.compose(se3.inverse(tk), tj)       # T_k^-1 T_j
+        mid = Pose(se3.so3_exp(sgn * xi[:3]), sgn * xi[3:])
+        rel = se3.compose(se3.compose(left, mid), right)
+        return si * se3.se3_log(
+            se3.compose(se3.inverse(Pose(zq, zt)), rel))
+
+    def one_edge(ti_q, ti_t, tj_q, tj_t, zq, zt, si, li, lj):
+        ti, tj = Pose(ti_q, ti_t), Pose(tj_q, tj_t)
+        r0 = si * se3.se3_log(se3.compose(
+            se3.inverse(Pose(zq, zt)),
+            se3.compose(se3.inverse(ti), tj)))
+        sgn = jnp.where(li < lj, 1.0, -1.0)
+        lo, hi = jnp.minimum(li, lj), jnp.maximum(li, lj)
+
+        def blk(tk_q, tk_t, k):
+            tk = Pose(tk_q, tk_t)
+            J = jax.jacfwd(
+                lambda xi: res(ti, tj, tk, zq, zt, si, sgn, xi))(jnp.zeros(6))
+            on_path = (k > lo) & (k <= hi)
+            return jnp.where(on_path, J, 0.0)
+
+        M = jax.vmap(blk)(poses.q, poses.t, jnp.arange(K))
+        return r0, M
+
+    return jax.vmap(one_edge)(
+        Ti.q, Ti.t, Tj.q, Tj.t, loop_rel.q, loop_rel.t, loop_si,
+        loop_i, loop_j)
+
+
 @partial(jax.jit, static_argnames=(
     "gn_iters", "cg_iters", "loop_cauchy_c", "drift_rate", "drift_rot_rate"))
 def optimize(
@@ -237,10 +310,13 @@ def optimize(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
-    drift_rate: float = 0.08,
-    drift_rot_rate: float = 0.005,
+    drift_rate: float = 0.15,
+    drift_rot_rate: float = 0.01,
 ) -> PoseGraph:
     """Full batched GN solve; returns the graph with updated poses.
+
+    `cg_iters` is retained for API compatibility and ignored: the linear
+    solve is a dense Cholesky (see the in-function comment), which is exact.
 
     Loop edges carry a robust model serving the reference's
     `CauchyEstimator(1)` wrap on loop BetweenFactors
@@ -278,11 +354,10 @@ def optimize(
     chain must be too.
     """
     K = g.node_valid.shape[0]
-    pr_si = 1.0 / jnp.sqrt(jnp.asarray(prior_noise, jnp.float32))
-    # scale information to keep float32 CG well-conditioned; the optimum is
-    # invariant to a global scaling of all sqrt-informations
+    # global information scaling (the optimum is invariant; keeps the
+    # assembled normal matrix in a comfortable fp32 range before the Jacobi
+    # normalization below)
     scale = 1e-3
-    pr_si = pr_si * scale
     base_loop_si = g.loop_sqrt_info * scale
 
     idx_n = jnp.arange(K)
@@ -336,39 +411,92 @@ def optimize(
             loop_si = base_loop_si * w_rob[:, None]
         else:
             loop_si = base_loop_si
-        g_scaled = g._replace(loop_sqrt_info=loop_si)
+        loop_si = loop_si * g.loop_valid[:, None]
 
-        def r_of(x):
-            # right-multiplicative retraction per node:
-            # q' = q (x) exp(rot), t' = t + R(q) trans
-            p = Pose(
-                q=se3.quat_normalize(se3.quat_mul(poses.q, se3.so3_exp(x[:, :3]))),
-                t=poses.t + se3.quat_rotate(poses.q, x[:, 3:]),
-            )
-            return _edge_residuals(g_scaled, p, odo_si, pr_si)
+        # ---- DENSE GN step in RELATIVE coordinates -------------------------
+        # Unknowns are per-edge increments delta_k (rel_k' = rel_est_k o
+        # Exp(delta_k)); node 0 is the gauge and stays fixed.  In these
+        # coordinates the odometry chain contributes a BLOCK-DIAGONAL
+        # Hessian (each residual touches one delta) and loop edges add a
+        # rank-6E coupling assembled as ONE matmul — so the normal matrix is
+        # benignly conditioned (a pose-space chain Hessian has condition
+        # ~K^2: unpreconditioned CG needs ~diameter iterations to carry a
+        # correction across the graph, which is exactly how r2's 64-iter CG
+        # silently left multi-meter loop residuals unsolved) and small
+        # enough (6K x 6K) that an MXU Cholesky solves it EXACTLY in
+        # milliseconds.  Incremental solvers and Krylov iterations both
+        # lose to "just build the dense system" at SLAM scale on a TPU.
+        Tprev = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0), poses)
+        rel_est = se3.compose(se3.inverse(Tprev), poses)
+        odo_ok = (g.node_valid & (idx_n >= 1) & (idx_n < g.num_nodes))
+        r_odo, J_odo = _edge_jacobians(
+            rel_est, g.odo_rel, odo_si * odo_ok[:, None])
+        r_loop, M = _loop_jacobians(poses, g.loop_i, g.loop_j, g.loop_rel,
+                                    loop_si)
 
-        x0 = jnp.zeros((K, 6))
-        r0 = r_of(x0)
-
-        def Jv(v):
-            return jax.jvp(r_of, (x0,), (v,))[1]
-
-        _, vjp = jax.vjp(r_of, x0)
-
-        def A(v):
-            return vjp(Jv(v))[0] + 1e-8 * v
-
-        b = vjp(r0)[0]
-        dx, _ = jax.scipy.sparse.linalg.cg(A, -b, maxiter=cg_iters)
-        new_poses = Pose(
-            q=se3.quat_normalize(se3.quat_mul(poses.q, se3.so3_exp(dx[:, :3]))),
-            t=poses.t + se3.quat_rotate(poses.q, dx[:, 3:]),
-        )
-        # only touch valid nodes
-        new_poses = jax.tree.map(
-            lambda n, o: jnp.where(g.node_valid[:, None], n, o), new_poses, poses
-        )
-        return new_poses, jnp.sum(r0 * r0)
+        E = loop_si.shape[0]
+        Mf = M.transpose(0, 2, 1, 3).reshape(E * 6, K * 6)
+        Hl = Mf.T @ Mf                                     # MXU matmul
+        bl = Mf.T @ r_loop.reshape(-1)
+        new_poses = _dense_update(
+            poses, g.node_valid, odo_ok, rel_est, r_odo, J_odo, Hl, bl)
+        cost = jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
+        return new_poses, cost
 
     poses, costs = jax.lax.scan(gn_step, g.poses, None, length=gn_iters)
     return g._replace(poses=poses)
+
+
+def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
+                  r_odo, J_odo, Hl, bl) -> Pose:
+    """Dense Cholesky GN update given the loop normal-equation contribution
+    (Hl (6K, 6K), bl (6K,)) and the per-edge odometry residuals/Jacobians.
+    Shared by the batched and the shard_map solvers (the sharded one psums
+    Hl/bl across shards first — ONE all-reduce of the normal equations per
+    GN iteration)."""
+    K = poses.t.shape[0]
+    idx_n = jnp.arange(K)
+    D = jnp.einsum("kra,krb->kab", J_odo, J_odo)       # (K, 6, 6)
+    b_odo = jnp.einsum("kra,kr->ka", J_odo, r_odo)     # (K, 6)
+    H = Hl.reshape(K, 6, K, 6)
+    b = b_odo + bl.reshape(K, 6)
+    H = H.at[idx_n, :, idx_n, :].add(D)
+
+    # gauge + padding: delta_0 and deltas beyond num_nodes are fixed —
+    # zero their rows/cols, identity diag, zero rhs
+    free = odo_ok.astype(jnp.float32)
+    H = H * free[:, None, None, None] * free[None, None, :, None]
+    H = H.at[idx_n, :, idx_n, :].add(
+        jnp.eye(6)[None] * (1.0 - free)[:, None, None])
+    b = b * free[:, None]
+
+    # Jacobi-normalized fp32 Cholesky
+    Hm = H.reshape(K * 6, K * 6)
+    dg = jnp.sqrt(jnp.clip(jnp.diagonal(Hm), 1e-12, None))
+    Hn = Hm / dg[:, None] / dg[None, :]
+    Hn = Hn + 1e-6 * jnp.eye(K * 6)
+    cf = jax.scipy.linalg.cho_factor(Hn)
+    y = jax.scipy.linalg.cho_solve(cf, -(b.reshape(-1) / dg))
+    dx = (y / dg).reshape(K, 6)
+
+    # rebuild poses: prefix-compose the updated relative chain in O(log K)
+    # with an associative scan
+    upd = Pose(se3.so3_exp(dx[:, :3]), dx[:, 3:])
+    new_rel = se3.compose(rel_est, upd)
+    seq = jax.tree.map(
+        lambda nr, ident: jnp.where(odo_ok[:, None], nr, ident),
+        new_rel,
+        Pose(jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (K, 4)),
+             jnp.zeros((K, 3))),
+    )
+    # slot 0 carries node 0's (fixed) pose so the prefix products ARE the
+    # absolute poses
+    seq = jax.tree.map(
+        lambda s, p0: s.at[0].set(p0),
+        seq, jax.tree.map(lambda a: a[0], poses),
+    )
+    T = jax.lax.associative_scan(se3.compose, seq)
+    new_poses = Pose(se3.quat_normalize(T.q), T.t)
+    return jax.tree.map(
+        lambda n, o: jnp.where(node_valid[:, None], n, o), new_poses, poses,
+    )

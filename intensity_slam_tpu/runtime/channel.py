@@ -55,3 +55,12 @@ class Channel:
         if self._h:
             self._lib.ischan_destroy(self._h)
             self._h = None
+
+    def __del__(self) -> None:
+        # free the native object when the Python wrapper dies (by then any
+        # consumer thread holding a reference has exited); test suites
+        # create many short-lived channels
+        try:
+            self.destroy()
+        except Exception:
+            pass

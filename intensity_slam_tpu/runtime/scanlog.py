@@ -71,6 +71,9 @@ class ScanLog:
         return self.num_frames
 
     def __getitem__(self, k: int) -> Frame:
+        """Random access; arrays are zero-copy views into the mmap — valid
+        until `close()`.  If you hand them to an (async) device transfer,
+        keep the log open until the transfer is consumed."""
         if not 0 <= k < self.num_frames:
             raise IndexError(k)
         ptr = self._lib.islog_frame(self._h, k)
@@ -80,8 +83,13 @@ class ScanLog:
                depth: int = 4) -> Iterator[Frame]:
         """Iterate frames with background prefetch (IO overlaps compute).
 
-        The yielded arrays alias a prefetch slot reused `depth` frames later
-        — consume (device_put) before advancing.
+        Yielded arrays are OWNED COPIES: `jnp.asarray`/`device_put` of a
+        host buffer is asynchronous (on the remote-TPU transport the RPC
+        streams well after the call returns), so yielding views into a
+        prefetch slot that is recycled `depth` frames later — or freed when
+        the prefetcher dies — is a use-after-free the device transfer loses
+        by a mile.  The slot->frame memcpy (~1 MB, tens of us) is noise
+        next to the frame compute.
         """
         end = self.num_frames if end is None else min(end, self.num_frames)
         with Prefetcher(self, start, end, depth) as pf:
@@ -117,8 +125,17 @@ class Prefetcher:
             if k == UINT64_MAX:
                 return
             self._pending = True
-            yield _parse(ptr, self._log.height, self._log.width,
-                         self._log.flags, k)
+            fr = _parse(ptr, self._log.height, self._log.width,
+                        self._log.flags, k)
+            # own the data before the slot is released/recycled: async
+            # device transfers read the host buffer AFTER this loop has
+            # moved on (see ScanLog.stream docstring)
+            yield Frame(
+                fr.index, fr.timestamp,
+                np.array(fr.xyz), np.array(fr.intensity),
+                None if fr.gt_q is None else np.array(fr.gt_q),
+                None if fr.gt_t is None else np.array(fr.gt_t),
+            )
 
     def __enter__(self):
         return self

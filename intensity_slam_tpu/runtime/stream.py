@@ -59,6 +59,7 @@ class StreamingRunner:
             donate_argnums=(0,),
         )
         self._traj_fn = jax.jit(lambda st: fused.trajectory(st, cfg))
+        self._cap = queue_capacity
         self._chan = Channel(queue_capacity, _REC_DTYPE)
         self._drop = drop_policy
         self._slots: dict[int, tuple] = {}
@@ -85,6 +86,10 @@ class StreamingRunner:
             depth: int = 4,
             on_frame: Callable[[int, fused.FrameInfo], None] | None = None,
             ) -> dict:
+        # a closed channel cannot be reopened — start each run with a fresh
+        # one (the previous run's close() is its end-of-stream marker)
+        self._chan.destroy()
+        self._chan = Channel(self._cap, _REC_DTYPE)
         writer_th = None
         if self._traj:
             writer_th = threading.Thread(target=self._writer_loop,

@@ -19,6 +19,21 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import subprocess
+
+# The full suite in ONE process segfaulted reliably around test #120 (r2
+# verdict item 4).  Root cause: every compiled/deserialized XLA:CPU
+# executable contributes dozens of memory mappings that the in-process jit
+# caches keep alive; the process crosses the kernel's default
+# vm.max_map_count (65530 — observed 57k maps right before the crash) and
+# dies with an unchecked-mmap SIGSEGV inside the AOT loader/cache path.
+# Two-part fix: raise the limit where permitted (CI container runs as
+# root; ignore failure elsewhere), and drop the jit caches between test
+# modules so the peak stays bounded (the persistent on-disk cache makes
+# re-loads cheap).
+subprocess.run(["sysctl", "-q", "-w", "vm.max_map_count=1048576"],
+               check=False, capture_output=True)
+
 import jax  # noqa: E402  (import after env mutation)
 
 jax.config.update("jax_platforms", "cpu")
@@ -28,3 +43,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_executable_maps():
+    """Release compiled executables after each test module (see the
+    vm.max_map_count note above): keeps the suite's memory-mapping count
+    bounded instead of monotonically accumulating every jitted program of
+    every module."""
+    yield
+    jax.clear_caches()

@@ -160,19 +160,31 @@ def test_full_refine_sharded_matches_unsharded(live_state, cfg, mesh):
 
 def test_online_refine_improves_live_trajectory(cfg, mesh):
     """The distributed back-end ONLINE (VERDICT r2 item 5): the live system
-    runs with a deliberately under-solved on-device PGO (1 GN iteration —
-    loop edges land but the global correction is left incomplete), then
-    hands its keyframe store to the mesh-sharded refine; the refined, re-
-    adopted live trajectory must measurably improve."""
+    runs in the deferred-solve scale-out mode (`loop.online_pgo=False`:
+    loop edges are detected, ICP-verified and recorded, but the global
+    solve is the mesh's job), then hands its keyframe store to the sharded
+    refine; the refined, re-adopted live trajectory must measurably
+    improve."""
     cfg2 = cfg.replace(
-        loop=dataclasses.replace(cfg.loop, pgo_gn_iters=1),
+        loop=dataclasses.replace(
+            cfg.loop, online_pgo=False,
+            # heavy sensor noise on a SHORT path drifts far more per meter
+            # than the long-run defaults model — widen the plausible-drift
+            # envelope so the genuine loop keeps full robust weight
+            loop_drift_rate=0.3, loop_drift_rot_rate=0.05),
     )
     world = synthetic.corridor_world()
-    poses = _loop_trajectory()
+    poses = _loop_trajectory(n_out=14)
     T = poses.q.shape[0]
+    # noisy sensor -> real odometry drift for the refine to correct (the
+    # noiseless raycaster drifts ~0.1 m over this sequence, leaving a global
+    # solve nothing to do)
+    noise = synthetic.SensorNoise(range_sigma=0.06, intensity_speckle=0.25,
+                                  dropout_rate=0.05)
     xyz, inten = jax.jit(
-        lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world,
-                                               cfg2.sensor)
+        lambda q, t: synthetic.render_sequence(
+            se3.Pose(q, t), world, cfg2.sensor, noise=noise,
+            key=jax.random.PRNGKey(3))
     )(poses.q, poses.t)
     sys_ = SlamSystem(cfg2, mesh=mesh)
     for k in range(T):
@@ -188,14 +200,21 @@ def test_online_refine_improves_live_trajectory(cfg, mesh):
         d = est[:n] - gt[:n]
         return float(np.sqrt(np.mean(np.sum(d * d, -1))))
 
-    ate_before = ate(sys_.trajectory())
+    def end_err(est):
+        return float(np.linalg.norm(est[-1] - gt[len(est) - 1]))
+
+    traj0 = sys_.trajectory()
+    ate_before, end_before = ate(traj0), end_err(traj0)
     sys_.refine()          # sharded BA + PGO over the mesh, adopted back
-    ate_after = ate(sys_.trajectory())
+    traj1 = sys_.trajectory()
+    ate_after, end_after = ate(traj1), end_err(traj1)
     assert np.isfinite(ate_after)
+    # the global solve must genuinely improve the live trajectory, not
+    # merely "run": the loop closes at the END of the path, so the end
+    # error must drop substantially, and whole-path ATE must not regress
     assert ate_after <= ate_before + 1e-6, (ate_before, ate_after)
-    # the full solve must recover a real fraction of the under-corrected
-    # error (not merely "run")
-    assert ate_after < max(0.75 * ate_before, 0.05), (ate_before, ate_after)
+    assert ate_after < 0.9 * ate_before, (ate_before, ate_after)
+    assert end_after < max(0.6 * end_before, 0.05), (end_before, end_after)
 
 
 def test_sharded_keyframe_store_roundtrip(live_state, mesh, cfg):

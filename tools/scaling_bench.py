@@ -150,9 +150,9 @@ def main():
             .lower(sprob).compile().as_text())
         coll[str(n)] = {
             "ba_all_reduce_ops": count_all_reduce(ba_txt),
-            "pgo_all_reduce_design": "1 psum per CG application + 1 per "
-                                     "GN iteration (fixed-trip CG; "
-                                     "dist_pgo._cg_fixed)",
+            "pgo_all_reduce_design": "1 psum of the (6K,6K) loop normal "
+                                     "equations + 1 of the rhs per GN "
+                                     "iteration (dist_pgo.optimize_shmap)",
         }
     results["sections"]["collective_count"] = {
         "shows": "number of all-reduce ops in the compiled sharded BA "
