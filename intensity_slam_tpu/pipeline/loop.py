@@ -263,7 +263,28 @@ def backend_step(
     # edge (the reference throttles via its 10 Hz loop-thread cadence +
     # MIN_LOOP_SEARCH_GAP, `intensity_feature_tracker.cpp:195-214`)
     cooled = (k - state.last_loop_kf) >= lc.loop_cooldown_kf
-    found = (sc_found | bow_found | rad_found) & cooled
+    # plausibility PRE-gate before the expensive ICP verify: a true revisit
+    # puts both keyframes at the same physical spot, so their GRAPH-frame
+    # separation can only be the accumulated drift — bounded by the same
+    # plausible-drift envelope the post-ICP chi2 gate whitens with.
+    # Aliased BoW/SC matches to self-similar but DIFFERENT places imply
+    # separations far outside it; rejecting them here skips a ~50 ms
+    # ICP+gates pass per false candidate at keyframe rate (the r3 circuit
+    # spent most of its keyframe budget inside rejected verifies), where
+    # this check is two gathers and a norm.
+    idx_n0 = jnp.arange(lc.max_keyframes)
+    step_len0 = jnp.where(
+        (idx_n0 >= 1) & (idx_n0 < state.graph.num_nodes),
+        jnp.linalg.norm(state.graph.odo_rel.t, axis=-1), 0.0,
+    )
+    cum_len0 = jnp.cumsum(step_len0)
+    path0 = jnp.abs(cum_len0[k] - cum_len0[jnp.maximum(loop_idx, 0)])
+    sep = jnp.linalg.norm(
+        state.graph.poses.t[k] - state.graph.poses.t[jnp.maximum(loop_idx, 0)]
+    )
+    env_sd = lc.loop_drift_rate * jnp.maximum(path0, 1.0)
+    plausible = sep <= 3.0 * env_sd + 1.0
+    found = (sc_found | bow_found | rad_found) & cooled & plausible
 
     def verify_and_close(st: BackendState):
         g = st.graph
