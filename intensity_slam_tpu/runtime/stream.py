@@ -46,25 +46,78 @@ _REC_DTYPE = np.dtype([
 ])
 _END = np.array((-1, 0.0), _REC_DTYPE)
 
+_WIRE_MAX_RANGE = 120.0   # m full-scale of the uint16 range quantization
+
+
+def _build_dir_lut(log: ScanLog, max_frames: int = 20) -> np.ndarray:
+    """Per-pixel unit beam directions from the log's first frames (a
+    spinning lidar's directions are fixed per (row, col); pixels invalid in
+    one frame are filled from later ones)."""
+    n = log.height * log.width
+    dirs = np.zeros((n, 3), np.float32)
+    have = np.zeros(n, bool)
+    for k in range(min(max_frames, len(log))):
+        fr = log[k]
+        r = np.linalg.norm(fr.xyz, axis=-1)
+        ok = (r > 0.1) & ~have
+        dirs[ok] = fr.xyz[ok] / r[ok, None]
+        have |= ok
+        if have.all():
+            break
+    return dirs
+
 
 class StreamingRunner:
     def __init__(self, cfg: SlamConfig, traj_path: str | None = None,
-                 queue_capacity: int = 64, drop_policy: bool = True):
+                 queue_capacity: int = 64, drop_policy: bool = True,
+                 wire_compress: bool = True):
         self.cfg = cfg
         self.mask = projection.detection_mask(cfg.sensor)
         self.state = fused.init_state(cfg)
-        self._step = jax.jit(
-            lambda st, x, i, t: fused.fused_step(
-                st, x, i, t, self.mask, cfg),
-            donate_argnums=(0,),
-        )
+        self._wire = wire_compress
+        # Host->device traffic is the streaming bottleneck, in two layers:
+        # 1. CALL COUNT: xyz/intensity/timestamp as separate uploads is ~3
+        #    RPC latencies per frame on a remote transport -> everything
+        #    ships as ONE packed buffer per frame.
+        # 2. BYTES: a float32 cloud is 16 B/point.  With wire_compress the
+        #    frame ships in the SENSOR'S native form — uint16 range (120 m /
+        #    65535 = 1.8 mm quantization, far below sensor noise) + uint8
+        #    intensity, 3 B/point, 5.3x less — and xyz is reconstructed on
+        #    device as range * dir from a per-log direction LUT (a spinning
+        #    lidar's beam directions are fixed per (row, col); the LUT is
+        #    built from the log's first frames and uploaded once).  This is
+        #    what the OS0 actually outputs (range + reflectivity packets);
+        #    shipping derived float32 xyz over the wire was paying 5x for
+        #    redundancy.
+        if wire_compress:
+            def wire_step(st, packed, dirs):
+                # packed (N+1, 2) uint16: row 0 = timestamp in ms split
+                # hi/lo; rows 1.. = (range_q16, intensity)
+                ts = (packed[0, 0].astype(jnp.float32) * 65536.0
+                      + packed[0, 1].astype(jnp.float32)) * 1e-3
+                rng = (packed[1:, 0].astype(jnp.float32)
+                       * (_WIRE_MAX_RANGE / 65535.0))
+                xyz = rng[:, None] * dirs
+                inten = packed[1:, 1].astype(jnp.float32)
+                return fused.fused_step(st, xyz, inten, ts, self.mask, cfg)
+
+            self._step = jax.jit(wire_step, donate_argnums=(0,))
+        else:
+            self._step = jax.jit(
+                lambda st, p: fused.fused_step(
+                    st, p[1:, :3], p[1:, 3], p[0, 0], self.mask, cfg),
+                donate_argnums=(0,),
+            )
+        self._dirs = None         # device (N, 3) direction LUT (wire mode)
+        self._ident_q = jnp.array([1.0, 0, 0, 0], jnp.float32)
         self._traj_fn = jax.jit(lambda st: fused.trajectory(st, cfg))
         self._cap = queue_capacity
         self._chan = Channel(queue_capacity, _REC_DTYPE)
         self._drop = drop_policy
         self._slots: dict[int, tuple] = {}
         self._slots_mu = threading.Lock()
-        self._traj = TrajectoryWriter(traj_path) if traj_path else None
+        self._traj_path = traj_path
+        self._traj: TrajectoryWriter | None = None
         self.num_frames = 0
 
     # ---- pose-writer stream (async device->host readback + file IO) -------
@@ -86,31 +139,52 @@ class StreamingRunner:
             depth: int = 4,
             on_frame: Callable[[int, fused.FrameInfo], None] | None = None,
             ) -> dict:
-        # a closed channel cannot be reopened — start each run with a fresh
-        # one (the previous run's close() is its end-of-stream marker)
+        # a closed channel/writer cannot be reopened — start each run with
+        # fresh ones (the previous run's close() is its end-of-stream
+        # marker; appending through a closed writer is a use-after-free in
+        # the native layer, which bench_full's second pass hit)
         self._chan.destroy()
         self._chan = Channel(self._cap, _REC_DTYPE)
+        self._traj = (TrajectoryWriter(self._traj_path)
+                      if self._traj_path else None)
         writer_th = None
         if self._traj:
             writer_th = threading.Thread(target=self._writer_loop,
                                          name="islam-traj-writer")
             writer_th.start()
         dropped_writes = 0
+        if self._wire and self._dirs is None:
+            self._dirs = jnp.asarray(_build_dir_lut(log))  # uploaded ONCE
         try:
             for fr in log.stream(start, end, depth):
-                xyz = jnp.asarray(fr.xyz)
-                inten = jnp.asarray(fr.intensity)
-                self.state, info = self._step(
-                    self.state, xyz, inten,
-                    jnp.asarray(fr.timestamp, jnp.float32))
+                # one packed upload per frame (fresh buffer each frame: the
+                # transfer is asynchronous and must own its host memory)
+                n = fr.xyz.shape[0]
+                if self._wire:
+                    buf = np.empty((n + 1, 2), np.uint16)
+                    ts_ms = int(round(fr.timestamp * 1e3))
+                    buf[0] = (ts_ms >> 16, ts_ms & 0xFFFF)
+                    rng = np.linalg.norm(fr.xyz, axis=-1)
+                    np.clip(rng, 0.0, _WIRE_MAX_RANGE, out=rng)
+                    buf[1:, 0] = np.round(
+                        rng * (65535.0 / _WIRE_MAX_RANGE)).astype(np.uint16)
+                    buf[1:, 1] = np.clip(
+                        fr.intensity, 0, 65535).astype(np.uint16)
+                    self.state, info = self._step(
+                        self.state, jnp.asarray(buf), self._dirs)
+                else:
+                    buf = np.empty((n + 1, 4), np.float32)
+                    buf[0] = (fr.timestamp, 0.0, 0.0, 0.0)
+                    buf[1:, :3] = fr.xyz
+                    buf[1:, 3] = fr.intensity
+                    self.state, info = self._step(
+                        self.state, jnp.asarray(buf))
                 self.num_frames += 1
                 if self._traj:
                     # live TUM stream carries positions (orientation is in
                     # the corrected export, write_corrected_trajectory)
                     with self._slots_mu:
-                        self._slots[fr.index] = (
-                            jnp.array([1.0, 0, 0, 0], jnp.float32),
-                            info.pose_t)
+                        self._slots[fr.index] = (self._ident_q, info.pose_t)
                     rec = np.array((fr.index, fr.timestamp), _REC_DTYPE)
                     if not self._chan.push(rec, drop_oldest=self._drop):
                         dropped_writes += 1

@@ -19,7 +19,12 @@ class TrajectoryWriter:
             raise OSError(f"cannot open trajectory file: {path}")
 
     def append(self, timestamp: float, t: np.ndarray, q: np.ndarray) -> None:
-        """q is (w, x, y, z); file rows are TUM `t tx ty tz qx qy qz qw`."""
+        """q is (w, x, y, z); file rows are TUM `t tx ty tz qx qy qz qw`.
+
+        Raises after close(): the native object is freed there — appending
+        through the stale handle was a use-after-free."""
+        if not self._h:
+            raise ValueError("append on closed TrajectoryWriter")
         t = np.ascontiguousarray(t, np.float32)
         q = np.ascontiguousarray(q, np.float32)
         self._lib.istraj_append(self._h, float(timestamp),

@@ -123,10 +123,15 @@ def main() -> int:
     if args.pipeline == "system":
         from intensity_slam_tpu.pipeline.system import SlamSystem
         sys_ = SlamSystem(cfg)
+        # timestamps must be HOST scalars: float(times[k]) on a device
+        # array is a device->host pull per frame — on a remote-TPU
+        # transport that is an RPC round trip (~25 ms) that throttled the
+        # whole benchmark to 28 scans/s while the fused program ran at 120
+        times_host = np.asarray(times)
         # warmup/compile on frame 0 so steady-state timing is honest; the
         # fused step compiles BOTH cond branches up front (no mid-run cliff)
         t_c0 = time.perf_counter()
-        info = sys_.process(xyz[0], inten[0], float(times[0]))
+        info = sys_.process(xyz[0], inten[0], float(times_host[0]))
         jax.block_until_ready(info.num_kf)
         compile_s = time.perf_counter() - t_c0
         # timed run: pure async dispatch, block once per chunk — the per-
@@ -136,7 +141,7 @@ def main() -> int:
         t0 = time.perf_counter()
         tc = t0
         for k in range(1, T):
-            info = sys_.process(xyz[k], inten[k], float(times[k]))
+            info = sys_.process(xyz[k], inten[k], float(times_host[k]))
             if k % CHUNK == 0:
                 jax.block_until_ready(info.num_kf)
                 now = time.perf_counter()
