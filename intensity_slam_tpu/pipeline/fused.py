@@ -213,6 +213,14 @@ def trajectory(state: FusedState, cfg: SlamConfig
     q = jnp.where(have_kf, p.q, log.q)
     t = jnp.where(have_kf, p.t, log.t)
     n = jnp.minimum(log.count, cfg.log_capacity)
+    # Once the ring has wrapped, storage order is rotated: the oldest
+    # retained frame sits at count % capacity.  Roll it back to slot 0 so
+    # the first n entries are always chronological (ADVICE r3: a wrapped
+    # export silently paired rotated poses with sequential timestamps).
+    shift = jnp.where(log.count > cfg.log_capacity,
+                      log.count % cfg.log_capacity, 0)
+    q = jnp.roll(q, -shift, axis=0)
+    t = jnp.roll(t, -shift, axis=0)
     return q, t, n
 
 

@@ -19,6 +19,7 @@ _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 
 u8p = ctypes.POINTER(ctypes.c_uint8)
+u16p = ctypes.POINTER(ctypes.c_uint16)
 f32p = ctypes.POINTER(ctypes.c_float)
 
 
@@ -63,6 +64,13 @@ def _declare(lib: ctypes.CDLL) -> None:
         "isprefetch_acquire": (c.c_uint64, [c.c_void_p, c.POINTER(u8p)]),
         "isprefetch_release": (None, [c.c_void_p]),
         "isprefetch_destroy": (None, [c.c_void_p]),
+        "iswire_create": (c.c_void_p, [c.c_void_p, c.c_uint64, c.c_uint64,
+                                       c.c_uint32, c.c_float]),
+        "iswire_acquire": (c.c_uint64, [c.c_void_p, c.POINTER(u16p),
+                                        c.POINTER(c.c_double)]),
+        "iswire_release": (None, [c.c_void_p]),
+        "iswire_base": (c.c_double, [c.c_void_p]),
+        "iswire_destroy": (None, [c.c_void_p]),
         "ischan_create": (c.c_void_p, [c.c_uint32, c.c_uint32]),
         "ischan_push": (c.c_int, [c.c_void_p, c.c_void_p, c.c_int]),
         "ischan_pop": (c.c_int, [c.c_void_p, c.c_void_p, c.c_int64]),

@@ -79,6 +79,22 @@ class ScanLog:
         ptr = self._lib.islog_frame(self._h, k)
         return _parse(ptr, self.height, self.width, self.flags, k)
 
+    def stream_wire(self, start: int = 0, end: int | None = None,
+                    depth: int = 4, max_range: float = 120.0,
+                    ) -> Iterator["WireFrame"]:
+        """Iterate frames PRE-PACKED into the sensor-native wire layout by
+        the native IO thread (`WirePrefetcher`): the consumer gets the
+        ready-to-upload (N+1, 2) uint16 buffer plus the absolute float64
+        timestamp, and does zero per-frame array math.  Timestamps inside
+        the packed buffer are run-relative ms (row 0), so epoch-scale UNIX
+        stamps are safe (ADVICE r3)."""
+        end = self.num_frames if end is None else min(end, self.num_frames)
+        wp = WireStream(self, start, end, depth, max_range)
+        try:
+            yield from wp
+        finally:
+            wp.close()
+
     def stream(self, start: int = 0, end: int | None = None,
                depth: int = 4) -> Iterator[Frame]:
         """Iterate frames with background prefetch (IO overlaps compute).
@@ -146,6 +162,53 @@ class Prefetcher:
     def close(self) -> None:
         if self._h:
             self._lib.isprefetch_destroy(self._h)
+            self._h = None
+
+
+class WireFrame(NamedTuple):
+    index: int
+    timestamp: float       # absolute float64 seconds (host-side records)
+    packed: np.ndarray     # (N+1, 2) uint16, owned copy ready for upload
+
+
+class WireStream:
+    """Iterator over natively wire-packed frames (see ScanLog.stream_wire)."""
+
+    def __init__(self, log: ScanLog, start: int, end: int, depth: int,
+                 max_range: float):
+        self._log = log
+        self._lib = native.lib()
+        self._h = self._lib.iswire_create(log._h, start, end, depth,
+                                          max_range)
+        self._n = log.height * log.width
+        self._pending = False
+
+    @property
+    def base_timestamp(self) -> float:
+        """Absolute timestamp the packed relative-ms clock counts from."""
+        return self._lib.iswire_base(self._h)
+
+    def __iter__(self) -> Iterator[WireFrame]:
+        UINT64_MAX = (1 << 64) - 1
+        while True:
+            if self._pending:
+                self._lib.iswire_release(self._h)
+                self._pending = False
+            ptr = native.u16p()
+            ts = ctypes.c_double()
+            k = self._lib.iswire_acquire(self._h, ctypes.byref(ptr),
+                                         ctypes.byref(ts))
+            if k == UINT64_MAX:
+                return
+            self._pending = True
+            view = np.ctypeslib.as_array(ptr, (self._n + 1, 2))
+            # own the bytes before the slot recycles `depth` frames later —
+            # async device transfers read host memory AFTER dispatch returns
+            yield WireFrame(int(k), float(ts.value), np.array(view))
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.iswire_destroy(self._h)
             self._h = None
 
 

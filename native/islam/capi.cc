@@ -87,6 +87,30 @@ ISLAM_API void isprefetch_destroy(void* h) {
   delete static_cast<Prefetcher*>(h);
 }
 
+// ---- wire-format prefetcher (packs on the IO thread) -----------------------
+
+ISLAM_API void* iswire_create(void* log, uint64_t start, uint64_t end,
+                              uint32_t depth, float max_range) {
+  return new WirePrefetcher(static_cast<ScanLogReader*>(log), start, end,
+                            depth, max_range);
+}
+
+ISLAM_API uint64_t iswire_acquire(void* h, const uint16_t** data, double* ts) {
+  return static_cast<WirePrefetcher*>(h)->acquire(data, ts);
+}
+
+ISLAM_API void iswire_release(void* h) {
+  static_cast<WirePrefetcher*>(h)->release();
+}
+
+ISLAM_API double iswire_base(void* h) {
+  return static_cast<WirePrefetcher*>(h)->base_timestamp();
+}
+
+ISLAM_API void iswire_destroy(void* h) {
+  delete static_cast<WirePrefetcher*>(h);
+}
+
 // ---- channel ---------------------------------------------------------------
 
 ISLAM_API void* ischan_create(uint32_t capacity, uint32_t msg_size) {

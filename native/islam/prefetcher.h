@@ -12,8 +12,10 @@
 #pragma once
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
+#include <cstring>
 #include <mutex>
 #include <thread>
 #include <vector>
@@ -107,6 +109,150 @@ class Prefetcher {
   const uint64_t start_, end_;
   const uint32_t depth_;
   std::vector<std::vector<uint8_t>> slots_;
+  std::mutex mu_;
+  std::condition_variable cv_ready_, cv_free_;
+  uint64_t filled_ = 0, taken_ = 0, released_ = 0;
+  bool done_ = false, stopping_ = false;
+  std::thread th_;
+};
+
+// Wire-format prefetcher: decodes frames into the SENSOR-NATIVE packed
+// layout the streaming runner uploads — (N+1) x 2 uint16 rows:
+//   row 0:    run-relative timestamp in ms, split (hi16, lo16); 32-bit ms
+//             budget = 49.7 days of session.  Run-relative (base = first
+//             frame of the range) so epoch-scale UNIX stamps neither
+//             overflow nor lose precision (float32 RELATIVE seconds on
+//             device stay under the 0.3 s keyframe gate's noise floor for
+//             any plausible session length).
+//   rows 1..: (range * 65535 / max_range rounded, intensity clamped u16)
+// The packing math (a 65k-point norm + clip + round per frame) runs HERE,
+// on the IO thread — the dispatch thread does zero per-frame array math.
+// xyz is reconstructed on device as range * direction-LUT.
+class WirePrefetcher {
+ public:
+  WirePrefetcher(const ScanLogReader* log, uint64_t start, uint64_t end,
+                 uint32_t depth, float max_range)
+      : log_(log),
+        start_(start),
+        end_(end > log->num_frames() ? log->num_frames() : end),
+        depth_(depth),
+        max_range_(max_range),
+        npts_(static_cast<uint64_t>(log->header().height) *
+              log->header().width),
+        slots_(depth),
+        slot_ts_(depth, 0.0) {
+    for (auto& s : slots_) s.resize((npts_ + 1) * 2 * sizeof(uint16_t) + 64);
+    if (end_ > start_) {
+      const uint8_t* f0 = log_->frame_ptr(start_);
+      std::memcpy(&base_ts_, f0, sizeof(double));
+    }
+    th_ = std::thread([this] { run(); });
+  }
+
+  ~WirePrefetcher() {
+    stop();
+    if (th_.joinable()) th_.join();
+  }
+
+  double base_timestamp() const { return base_ts_; }
+
+  // Blocks until the next packed frame is ready.  Returns the frame index
+  // (UINT64_MAX at end-of-stream); *data points at (npts+1)*2 uint16s,
+  // *ts receives the frame's ABSOLUTE float64 timestamp (for host-side
+  // trajectory records); both valid until release().
+  uint64_t acquire(const uint16_t** data, double* ts) {
+    std::unique_lock<std::mutex> lk(mu_);
+    cv_ready_.wait(lk, [&] { return filled_ > taken_ || done_; });
+    if (taken_ >= filled_ && done_) return UINT64_MAX;
+    uint64_t k = start_ + taken_;
+    *data = reinterpret_cast<const uint16_t*>(aligned(slots_[taken_ % depth_]));
+    *ts = slot_ts_[taken_ % depth_];
+    ++taken_;
+    return k;
+  }
+
+  void release() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      ++released_;
+    }
+    cv_free_.notify_one();
+  }
+
+  void stop() {
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      stopping_ = true;
+    }
+    cv_free_.notify_all();
+    cv_ready_.notify_all();
+  }
+
+ private:
+  static const uint8_t* aligned(const std::vector<uint8_t>& v) {
+    auto p = reinterpret_cast<uintptr_t>(v.data());
+    return reinterpret_cast<const uint8_t*>((p + 63) & ~uintptr_t(63));
+  }
+
+  void pack(const uint8_t* src, uint16_t* dst, double* ts_out) const {
+    double ts;
+    std::memcpy(&ts, src, sizeof(double));
+    *ts_out = ts;
+    const float* xyz = reinterpret_cast<const float*>(src + 8);
+    const float* inten = reinterpret_cast<const float*>(src + 8 + npts_ * 12);
+    double rel_ms_d = (ts - base_ts_) * 1e3;
+    if (rel_ms_d < 0) rel_ms_d = 0;
+    uint32_t rel_ms = static_cast<uint32_t>(rel_ms_d + 0.5);
+    dst[0] = static_cast<uint16_t>(rel_ms >> 16);
+    dst[1] = static_cast<uint16_t>(rel_ms & 0xFFFFu);
+    const float scale = 65535.0f / max_range_;
+    for (uint64_t i = 0; i < npts_; ++i) {
+      const float* p = xyz + 3 * i;
+      float r = std::sqrt(p[0] * p[0] + p[1] * p[1] + p[2] * p[2]);
+      if (r > max_range_) r = max_range_;
+      dst[2 * (i + 1)] = static_cast<uint16_t>(r * scale + 0.5f);
+      float v = inten[i];
+      if (v < 0.0f) v = 0.0f;
+      if (v > 65535.0f) v = 65535.0f;
+      dst[2 * (i + 1) + 1] = static_cast<uint16_t>(v);
+    }
+  }
+
+  void run() {
+    uint64_t total = end_ > start_ ? end_ - start_ : 0;
+    for (uint64_t i = 0; i < total; ++i) {
+      {
+        std::unique_lock<std::mutex> lk(mu_);
+        cv_free_.wait(lk,
+                      [&] { return filled_ - released_ < depth_ || stopping_; });
+        if (stopping_) break;
+      }
+      if (i + 1 < total) log_->prefetch(start_ + i + 1);
+      const uint8_t* src = log_->frame_ptr(start_ + i);
+      auto* dst = reinterpret_cast<uint16_t*>(
+          const_cast<uint8_t*>(aligned(slots_[i % depth_])));
+      pack(src, dst, &slot_ts_[i % depth_]);
+      {
+        std::lock_guard<std::mutex> lk(mu_);
+        ++filled_;
+      }
+      cv_ready_.notify_one();
+    }
+    {
+      std::lock_guard<std::mutex> lk(mu_);
+      done_ = true;
+    }
+    cv_ready_.notify_all();
+  }
+
+  const ScanLogReader* log_;
+  const uint64_t start_, end_;
+  const uint32_t depth_;
+  const float max_range_;
+  const uint64_t npts_;
+  double base_ts_ = 0.0;
+  std::vector<std::vector<uint8_t>> slots_;
+  std::vector<double> slot_ts_;
   std::mutex mu_;
   std::condition_variable cv_ready_, cv_free_;
   uint64_t filled_ = 0, taken_ = 0, released_ = 0;

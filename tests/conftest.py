@@ -31,8 +31,21 @@ import subprocess
 # root; ignore failure elsewhere), and drop the jit caches between test
 # modules so the peak stays bounded (the persistent on-disk cache makes
 # re-loads cheap).
-subprocess.run(["sysctl", "-q", "-w", "vm.max_map_count=1048576"],
-               check=False, capture_output=True)
+# Only raise the limit when it is actually below what the suite needs —
+# never silently mutate kernel state that is already sufficient (ADVICE r3).
+_NEED_MAP_COUNT = 1048576
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        _cur = int(_f.read().strip())
+except OSError:
+    _cur = _NEED_MAP_COUNT
+if _cur < _NEED_MAP_COUNT:
+    _r = subprocess.run(
+        ["sysctl", "-q", "-w", f"vm.max_map_count={_NEED_MAP_COUNT}"],
+        check=False, capture_output=True)
+    if _r.returncode == 0:
+        print(f"[conftest] raised vm.max_map_count {_cur} -> {_NEED_MAP_COUNT}"
+              " (XLA:CPU executable mappings; see comment above)")
 
 import jax  # noqa: E402  (import after env mutation)
 

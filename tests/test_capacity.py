@@ -185,3 +185,32 @@ def test_system_survives_2x_keyframe_capacity():
     traj = sys_.trajectory()
     assert np.isfinite(traj).all()
     assert traj.shape[0] == T
+
+
+def test_frame_log_wrap_export_is_chronological():
+    """Past log_capacity the device ring wraps; the export must roll the
+    storage rotation away so entry 0 is the OLDEST retained frame
+    (ADVICE r3: a wrapped export silently paired rotated poses with
+    sequential timestamps)."""
+    from intensity_slam_tpu.io import synthetic
+    from intensity_slam_tpu.pipeline.system import SlamSystem
+
+    cfg = _small_cfg(max_kf=16).replace(log_capacity=12)
+    world = synthetic.corridor_world()
+    T = 20  # > log_capacity: wraps by 8
+    poses = synthetic.corridor_trajectory(T, speed=0.5, yaw_rate=0.0)
+    xyz, inten = jax.jit(lambda q, t: synthetic.render_sequence(
+        se3.Pose(q, t), world, cfg.sensor))(poses.q, poses.t)
+    sys_ = SlamSystem(cfg)
+    for k in range(T):
+        sys_.process(xyz[k], inten[k], 0.1 * k)
+    traj = sys_.trajectory()
+    assert traj.shape[0] == cfg.log_capacity
+    # forward corridor motion: a correctly-unrolled export advances in x
+    # monotonically; the rotated bug would jump backwards mid-array
+    xs = traj[:, 0]
+    assert np.isfinite(traj).all()
+    assert (np.diff(xs) > -0.05).all(), f"not chronological: {xs}"
+    # and it is the LAST log_capacity frames: the newest pose must be close
+    # to the full-trajectory endpoint (~0.5 m/frame * 19 frames)
+    assert xs[-1] > xs[0] + 3.0

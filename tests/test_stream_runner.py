@@ -40,3 +40,86 @@ def test_streaming_runner(tmp_path):
     # forward corridor motion: x must advance monotonically-ish
     xs = [float(r.split()[1]) for r in rows]
     assert xs[-1] > 0.5
+
+
+def test_native_wire_packing_matches_host(tmp_path):
+    """The C++ WirePrefetcher's packed frames must equal the host math it
+    replaced: run-relative ms timestamp split hi/lo + range/intensity
+    quantization (VERDICT r3 weak #1: packing belongs on the IO thread)."""
+    from intensity_slam_tpu.runtime.scanlog import ScanLog, ScanLogWriter
+
+    rng = np.random.default_rng(7)
+    H, W = 4, 16
+    n = H * W
+    frames = 3
+    base_ts = 1.7e9  # epoch-scale: the old int32-ms packing overflowed here
+    xyzs = rng.uniform(-50, 50, (frames, n, 3)).astype(np.float32)
+    intens = rng.uniform(0, 300, (frames, n)).astype(np.float32)
+    path = tmp_path / "wire.islog"
+    with ScanLogWriter(str(path), H, W) as w:
+        for k in range(frames):
+            w.append(base_ts + 0.1 * k, xyzs[k], intens[k])
+    MAXR = 120.0
+    with ScanLog(str(path)) as log:
+        got = list(log.stream_wire(0, frames, depth=2, max_range=MAXR))
+    assert [g.index for g in got] == list(range(frames))
+    for k, g in enumerate(got):
+        assert g.timestamp == base_ts + 0.1 * k  # absolute, float64
+        rel_ms = int(round((g.timestamp - base_ts) * 1e3))
+        assert (int(g.packed[0, 0]) << 16 | int(g.packed[0, 1])) == rel_ms
+        rngs = np.clip(np.linalg.norm(xyzs[k], axis=-1), 0, MAXR)
+        want_q = np.floor(rngs * (65535.0 / MAXR) + 0.5).astype(np.uint16)
+        np.testing.assert_array_equal(g.packed[1:, 0], want_q)
+        np.testing.assert_array_equal(
+            g.packed[1:, 1], np.clip(intens[k], 0, 65535).astype(np.uint16))
+
+
+def test_streaming_epoch_timestamps(tmp_path):
+    """UNIX-epoch stamps must neither crash the packer nor corrupt the
+    0.3 s keyframe time gate (ADVICE r3 medium): on-device time is
+    run-relative; the TUM stream keeps absolute float64 stamps."""
+    log_path = tmp_path / "epoch.islog"
+    traj_path = tmp_path / "epoch.tum"
+    cfg = config.small_test_config()
+    world = synthetic.corridor_world()
+    frames = 8
+    poses = synthetic.corridor_trajectory(frames, speed=0.3, yaw_rate=0.0)
+    xyz, inten = jax.jit(
+        lambda q, t: synthetic.render_sequence(
+            se3.Pose(q, t), world, cfg.sensor)
+    )(poses.q, poses.t)
+    xyz, inten = np.asarray(xyz), np.asarray(inten)
+    base = 1.755e9  # ~2025 epoch seconds
+    with ScanLogWriter(str(log_path), cfg.sensor.image_height,
+                       cfg.sensor.image_width) as w:
+        for k in range(frames):
+            w.append(base + 0.1 * k, xyz[k], inten[k])
+    runner = StreamingRunner(cfg, traj_path=str(traj_path))
+    with ScanLog(str(log_path)) as log:
+        stats = runner.run(log)
+    assert stats["frames"] == frames
+    # a poisoned time gate yields dt=0 forever -> exactly 1 keyframe
+    assert stats["keyframes"] >= 2
+    rows = traj_path.read_text().splitlines()
+    assert len(rows) == frames
+    # absolute epoch stamps, ms-exact
+    ts = [float(r.split()[0]) for r in rows]
+    np.testing.assert_allclose(
+        ts, [base + 0.1 * k for k in range(frames)], atol=5e-4)
+
+
+def test_run_preloaded_matches_run(tmp_path):
+    """The transport-independent replay (device-resident log) must drive
+    the exact same trajectory as the streamed path — it differs only in
+    WHERE the packed frames live when the step is dispatched."""
+    log_path = tmp_path / "pre.islog"
+    cfg = _make_log(log_path, frames=8)
+    r1 = StreamingRunner(cfg)
+    r2 = StreamingRunner(cfg)
+    with ScanLog(str(log_path)) as log:
+        s1 = r1.run(log)
+        s2 = r2.run_preloaded(log)
+    assert s1["keyframes"] == s2["keyframes"]
+    assert s1["loops"] == s2["loops"]
+    np.testing.assert_allclose(r1.trajectory(), r2.trajectory(),
+                               atol=1e-5)
