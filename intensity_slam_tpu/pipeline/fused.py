@@ -224,6 +224,31 @@ def trajectory(state: FusedState, cfg: SlamConfig
     return q, t, n
 
 
+def export_window(state: FusedState, start: jax.Array, length: int,
+                  cfg: SlamConfig) -> tuple[jax.Array, jax.Array]:
+    """Corrected poses for global frames [start, start+length), which must
+    still be resident in the ring (count - start <= log_capacity).
+
+    Same updatePoses-style correction as `trajectory`, evaluated for one
+    window — the device half of the host spill that makes trajectory
+    export unbounded (the reference keeps unbounded keyframe deques,
+    `intensity_feature_tracker.h:242-248`; our ring is fixed, so segments
+    stream to the host before they are overwritten).  Corrections are as
+    of SPILL time: a later loop closure no longer rewrites already-spilled
+    frames, matching the reference's live tf stream for old poses."""
+    log, backend = state.log, state.backend
+    idx = (start + jnp.arange(length)) % cfg.log_capacity
+    kf = log.kf[idx]
+    corr = keyframe_corrections(backend)
+    kfc = jnp.clip(kf, 0, backend.graph.node_valid.shape[0] - 1)
+    c = jax.tree.map(lambda a: a[kfc], corr)
+    p = se3.compose(c, Pose(log.q[idx], log.t[idx]))
+    have_kf = (kf >= 0)[:, None]
+    q = jnp.where(have_kf, p.q, log.q[idx])
+    t = jnp.where(have_kf, p.t, log.t[idx])
+    return q, t
+
+
 def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig
                 ) -> FusedState:
     """Adopt externally refined keyframe poses (e.g. from the distributed

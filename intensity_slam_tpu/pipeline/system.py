@@ -59,6 +59,11 @@ class SlamSystem:
         )
         self._frames = 0
         self._last_refine_kf = 0
+        # unbounded trajectory export: corrected segments spill to the host
+        # before the device ring wraps (runtime.spill.LogSpiller)
+        from ..runtime.spill import LogSpiller
+
+        self._spiller = LogSpiller(cfg)
 
     # ---- hot path ----------------------------------------------------------
     def process(self, xyz, inten, timestamp) -> fused.FrameInfo:
@@ -67,6 +72,7 @@ class SlamSystem:
             self.state, xyz, inten, jnp.asarray(timestamp, jnp.float32)
         )
         self._frames += 1
+        self._spiller.maybe_spill(self.state, self._frames)
         every = self.cfg.parallel.refine_every_kf
         if every > 0 and self._frames % 32 == 0:
             n_kf = int(info.num_kf)          # one scalar fetch / 32 frames
@@ -141,9 +147,12 @@ class SlamSystem:
         return [(q[i], t[i]) for i in range(n)]
 
     def trajectory(self) -> np.ndarray:
-        """(T, 3) PGO-corrected positions (updatePoses semantics)."""
-        q, t, n = self._traj(self.state)
-        return np.asarray(t)[: int(n)]
+        """(N, 3) PGO-corrected positions (updatePoses semantics) for the
+        FULL session: host-spilled segments + live ring window — unbounded
+        in session length even though the device ring is fixed."""
+        _, t = self._spiller.full_trajectory(self.state, self._frames,
+                                             self._traj)
+        return t
 
     def odom_trajectory(self) -> np.ndarray:
         """(T, 3) merged-odometry positions (pre-mapping, pre-PGO) — the
@@ -164,3 +173,8 @@ class SlamSystem:
         from ..utils import checkpoint
 
         self.state = checkpoint.restore(prefix + ".fused.npz", self.state)
+        # re-align host counters with the restored device log; segments
+        # spilled by the previous process are host state and are gone —
+        # the export covers the ring-resident suffix until new spills
+        self._frames = int(self.state.log.count)
+        self._spiller.resync(self._frames)

@@ -38,6 +38,7 @@ from ..ops import projection
 from ..pipeline import fused
 from .channel import Channel
 from .scanlog import ScanLog
+from .spill import LogSpiller
 from .traj import TrajectoryWriter
 
 _REC_DTYPE = np.dtype([
@@ -117,6 +118,9 @@ class StreamingRunner:
         self._slots: dict[int, tuple] = {}
         self._slots_mu = threading.Lock()
         self._dropped_writes = 0
+        # unbounded corrected-trajectory export: segments stream to the
+        # host before the device ring wraps (see runtime.spill)
+        self._spiller = LogSpiller(cfg)
         self._traj_path = traj_path
         self._traj: TrajectoryWriter | None = None
         self.num_frames = 0
@@ -221,6 +225,7 @@ class StreamingRunner:
                     self.state, info = self._step(
                         self.state, jnp.asarray(buf))
                 self.num_frames += 1
+                self._spiller.maybe_spill(self.state, self.num_frames)
                 self._record_pose(idx, abs_ts, info)
                 if on_frame is not None:
                     on_frame(idx, info)
@@ -272,6 +277,7 @@ class StreamingRunner:
                 self.state, info = self._step(
                     self.state, dev_log[j], self._dirs)
                 self.num_frames += 1
+                self._spiller.maybe_spill(self.state, self.num_frames)
                 self._record_pose(idx, abs_ts, info)
                 if on_frame is not None:
                     on_frame(idx, info)
@@ -295,19 +301,23 @@ class StreamingRunner:
 
     # ---- corrected trajectory export (updatePoses semantics) ---------------
     def trajectory(self) -> np.ndarray:
-        """(T, 3) PGO-corrected positions from the device log."""
-        q, t, n = self._traj_fn(self.state)
-        return np.asarray(t)[: int(n)]
+        """(N, 3) PGO-corrected positions for the FULL session — spilled
+        segments (corrected as of spill time) + the live ring window
+        (corrected now).  Unbounded in session length."""
+        _, t = self._spiller.full_trajectory(
+            self.state, self.num_frames, self._traj_fn)
+        return t
 
     def write_corrected_trajectory(self, path: str,
                                    timestamps=None) -> None:
         """Write the PGO-corrected trajectory as TUM (the reference's
         `updatePoses`-rewritten keypose export, `intensity_feature_tracker
-        .cpp:110-145,555-582` — the live TUM stream is pre-PGO)."""
-        q, t, n = self._traj_fn(self.state)
-        n = int(n)
-        q = np.asarray(q)[:n]
-        t = np.asarray(t)[:n]
+        .cpp:110-145,555-582` — the live TUM stream is pre-PGO).  Covers
+        the FULL session: frames older than the device ring come from the
+        host spill segments."""
+        q, t = self._spiller.full_trajectory(
+            self.state, self.num_frames, self._traj_fn)
+        n = t.shape[0]
         with TrajectoryWriter(path) as w:
             for i in range(n):
                 ts = float(timestamps[i]) if timestamps is not None else i * 0.1

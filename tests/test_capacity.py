@@ -188,11 +188,13 @@ def test_system_survives_2x_keyframe_capacity():
 
 
 def test_frame_log_wrap_export_is_chronological():
-    """Past log_capacity the device ring wraps; the export must roll the
-    storage rotation away so entry 0 is the OLDEST retained frame
-    (ADVICE r3: a wrapped export silently paired rotated poses with
-    sequential timestamps)."""
+    """Past log_capacity the device ring wraps.  Two guarantees (ADVICE r3
+    + VERDICT r3 missing #4): the live-window export must roll the storage
+    rotation away (chronological, never silently rotated), and the FULL
+    session trajectory must still be exportable — segments spill to the
+    host before the ring overwrites them (runtime.spill.LogSpiller)."""
     from intensity_slam_tpu.io import synthetic
+    from intensity_slam_tpu.pipeline import fused
     from intensity_slam_tpu.pipeline.system import SlamSystem
 
     cfg = _small_cfg(max_kf=16).replace(log_capacity=12)
@@ -204,13 +206,17 @@ def test_frame_log_wrap_export_is_chronological():
     sys_ = SlamSystem(cfg)
     for k in range(T):
         sys_.process(xyz[k], inten[k], 0.1 * k)
+    # (a) the raw ring window export is rolled chronological
+    q, t, n = jax.jit(lambda st: fused.trajectory(st, cfg))(sys_.state)
+    win = np.asarray(t)[: int(n)]
+    assert win.shape[0] == cfg.log_capacity
+    assert (np.diff(win[:, 0]) > -0.05).all(), f"rotated: {win[:, 0]}"
+    # (b) the full-session export covers ALL T frames via host spill
     traj = sys_.trajectory()
-    assert traj.shape[0] == cfg.log_capacity
-    # forward corridor motion: a correctly-unrolled export advances in x
-    # monotonically; the rotated bug would jump backwards mid-array
+    assert traj.shape[0] == T
     xs = traj[:, 0]
     assert np.isfinite(traj).all()
     assert (np.diff(xs) > -0.05).all(), f"not chronological: {xs}"
-    # and it is the LAST log_capacity frames: the newest pose must be close
-    # to the full-trajectory endpoint (~0.5 m/frame * 19 frames)
+    # spilled head and live tail agree where they overlap with the window
+    np.testing.assert_allclose(traj[-win.shape[0]:], win, atol=1e-5)
     assert xs[-1] > xs[0] + 3.0
