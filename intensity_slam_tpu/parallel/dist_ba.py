@@ -193,17 +193,19 @@ def ba_solve(
 def shard_problem(prob: BAProblem, mesh, axis: str = "data") -> BAProblem:
     """Place the observation arrays sharded over `axis`; poses/landmarks
     replicated.  XLA then lowers the segment sums in ba_solve to sharded
-    partial sums + all-reduce over the mesh (ICI collectives on real pods)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    partial sums + all-reduce over the mesh (ICI collectives on real pods;
+    Gloo across localhost processes in CI).  Valid on single- and
+    multi-process meshes (multiproc.put_global)."""
+    from jax.sharding import PartitionSpec as P
 
-    obs = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
+    from .multiproc import put_global, tree_put_global
+
     return BAProblem(
-        poses=jax.tree.map(lambda a: jax.device_put(a, rep), prob.poses),
-        landmarks=jax.device_put(prob.landmarks, rep),
-        obs_pose=jax.device_put(prob.obs_pose, obs),
-        obs_lm=jax.device_put(prob.obs_lm, obs),
-        obs_z=jax.device_put(prob.obs_z, obs),
-        obs_w=jax.device_put(prob.obs_w, obs),
-        fixed_poses=jax.device_put(prob.fixed_poses, rep),
+        poses=tree_put_global(prob.poses, mesh, P()),
+        landmarks=put_global(prob.landmarks, mesh, P()),
+        obs_pose=put_global(prob.obs_pose, mesh, P(axis)),
+        obs_lm=put_global(prob.obs_lm, mesh, P(axis)),
+        obs_z=put_global(prob.obs_z, mesh, P(axis)),
+        obs_w=put_global(prob.obs_w, mesh, P(axis)),
+        fixed_poses=put_global(prob.fixed_poses, mesh, P()),
     )

@@ -58,27 +58,34 @@ def shard_backend_state(state: BackendState, mesh, axis: str = "data"
                         ) -> BackendState:
     """Distribute the keyframe store: keyframe-major arrays sharded over
     `axis` (each shard owns a block of keyframes), graph + scalars
-    replicated (poses are tiny; the clouds/descriptors are the bulk)."""
-    kf = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
+    replicated (poses are tiny; the clouds/descriptors are the bulk).
+    Valid on single- and multi-process meshes (multiproc.put_global)."""
+    from .multiproc import put_global
+
+    def kf(a):
+        return put_global(a, mesh, P(axis))
+
+    def rep(a):
+        return put_global(a, mesh, P())
+
     return BackendState(
-        graph=jax.tree.map(lambda a: jax.device_put(a, rep), state.graph),
-        kf_cloud=jax.device_put(state.kf_cloud, kf),
-        kf_cloud_mask=jax.device_put(state.kf_cloud_mask, kf),
-        kf_sc=jax.device_put(state.kf_sc, kf),
-        kf_ringkey=jax.device_put(state.kf_ringkey, kf),
-        kf_sig=jax.device_put(state.kf_sig, kf),
-        kf_time=jax.device_put(state.kf_time, kf),
-        num_kf=jax.device_put(state.num_kf, rep),
-        kf_feat_desc=jax.device_put(state.kf_feat_desc, kf),
-        kf_feat_xyz=jax.device_put(state.kf_feat_xyz, kf),
-        kf_feat_valid=jax.device_put(state.kf_feat_valid, kf),
-        kf_raw=jax.tree.map(lambda a: jax.device_put(a, kf), state.kf_raw),
-        kf_ground=jax.device_put(state.kf_ground, kf),
-        kf_ground_mask=jax.device_put(state.kf_ground_mask, kf),
-        kf_corner=jax.device_put(state.kf_corner, kf),
-        kf_corner_mask=jax.device_put(state.kf_corner_mask, kf),
-        last_loop_kf=jax.device_put(state.last_loop_kf, rep),
+        graph=jax.tree.map(rep, state.graph),
+        kf_cloud=kf(state.kf_cloud),
+        kf_cloud_mask=kf(state.kf_cloud_mask),
+        kf_sc=kf(state.kf_sc),
+        kf_ringkey=kf(state.kf_ringkey),
+        kf_sig=kf(state.kf_sig),
+        kf_time=kf(state.kf_time),
+        num_kf=rep(state.num_kf),
+        kf_feat_desc=kf(state.kf_feat_desc),
+        kf_feat_xyz=kf(state.kf_feat_xyz),
+        kf_feat_valid=kf(state.kf_feat_valid),
+        kf_raw=jax.tree.map(kf, state.kf_raw),
+        kf_ground=kf(state.kf_ground),
+        kf_ground_mask=kf(state.kf_ground_mask),
+        kf_corner=kf(state.kf_corner),
+        kf_corner_mask=kf(state.kf_corner_mask),
+        last_loop_kf=rep(state.last_loop_kf),
     )
 
 
@@ -115,10 +122,24 @@ def refine(
             )
     state = state._replace(graph=g)
 
-    # --- (b) BA from the live keyframe store, observations sharded
-    prob = jax.jit(ba_builder.build_problem, static_argnums=1)(state, cfg)
+    # --- (b) BA from the live keyframe store, observations sharded.
+    # out_shardings places the problem directly in the distributed layout
+    # (obs sharded over `axis`, poses/landmarks replicated) — no host
+    # round-trip, and valid when the mesh spans multiple processes (where
+    # re-placing after the fact would need non-addressable transfers).
     if mesh is not None:
-        prob = dist_ba.shard_problem(prob, mesh, axis)
+        obs = NamedSharding(mesh, P(axis))
+        rep = NamedSharding(mesh, P())
+        out_sh = dist_ba.BAProblem(
+            poses=jax.tree.map(lambda _: rep, state.graph.poses),
+            landmarks=rep, obs_pose=obs, obs_lm=obs, obs_z=obs, obs_w=obs,
+            fixed_poses=rep,
+        )
+        prob = jax.jit(ba_builder.build_problem, static_argnums=1,
+                       out_shardings=out_sh)(state, cfg)
+    else:
+        prob = jax.jit(ba_builder.build_problem, static_argnums=1)(
+            state, cfg)
     res = dist_ba.ba_solve(
         prob, gn_iters=pc.ba_gn_iters, cg_iters=pc.ba_cg_iters
     )
@@ -129,19 +150,30 @@ def refine(
     # the PGO result (ICP-verified loops + odometry chain) is the stronger
     # pose evidence; BA still refines and returns the landmark map.
     if pc.ba_pose_writeback:
-        live = (jnp.arange(g.node_valid.shape[0]) < state.num_kf)[:, None]
-        new_poses = jax.tree.map(
-            lambda ref, old: jnp.where(live, ref, old), res.poses, g.poses
-        )
-        g = g._replace(poses=new_poses)
+        # jitted: runs as a global SPMD program when the mesh spans
+        # processes (eager ops on non-addressable arrays are invalid)
+        @jax.jit
+        def _writeback(res_poses, g_poses, num_kf):
+            live = (jnp.arange(g.node_valid.shape[0]) < num_kf)[:, None]
+            return jax.tree.map(
+                lambda ref, old: jnp.where(live, ref, old),
+                res_poses, g_poses)
+
+        g = g._replace(poses=_writeback(res.poses, g.poses, state.num_kf))
 
     L = prob.landmarks.shape[0]
-    cnt = jax.ops.segment_sum(prob.obs_w, prob.obs_lm, num_segments=L)
+
+    @jax.jit
+    def _obs_stats(w, lm):
+        cnt = jax.ops.segment_sum(w, lm, num_segments=L)
+        return cnt >= 2.0, jnp.sum(w > 0).astype(jnp.int32)
+
+    lm_valid, num_obs = _obs_stats(prob.obs_w, prob.obs_lm)
     return RefineResult(
         state=state._replace(graph=g),
         landmarks=res.landmarks,
-        landmark_valid=cnt >= 2.0,
+        landmark_valid=lm_valid,
         ba_initial_cost=res.initial_cost,
         ba_final_cost=res.final_cost,
-        num_obs=jnp.sum(prob.obs_w > 0).astype(jnp.int32),
+        num_obs=num_obs,
     )

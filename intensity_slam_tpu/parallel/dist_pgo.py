@@ -39,17 +39,15 @@ from ..utils.se3 import Pose
 
 def shard_graph(g: posegraph.PoseGraph, mesh, axis: str = "data"
                 ) -> posegraph.PoseGraph:
-    """Placement-only sharding: nodes over `axis`, loop edges replicated."""
-    from jax.sharding import NamedSharding
-
-    node = NamedSharding(mesh, P(axis))
-    rep = NamedSharding(mesh, P())
+    """Placement-only sharding: nodes over `axis`, loop edges replicated.
+    Valid on single- and multi-process meshes (multiproc.put_global)."""
+    from .multiproc import put_global
 
     def put_nodes(a):
-        return jax.device_put(a, node)
+        return put_global(a, mesh, P(axis))
 
     def put_rep(a):
-        return jax.device_put(a, rep)
+        return put_global(a, mesh, P())
 
     return posegraph.PoseGraph(
         poses=jax.tree.map(put_nodes, g.poses),
@@ -95,6 +93,13 @@ def optimize_shmap(
     `posegraph.optimize` (same per-edge math; only the reduction order
     differs).  `cg_iters` is retained for API compatibility and ignored
     (the dense Cholesky solve is exact)."""
+    if jax.process_count() > 1:
+        # multi-controller: inputs must be global arrays on the mesh before
+        # entering the jitted shard_map program (each process holds the
+        # full graph — it is replicated state in the live system)
+        from .multiproc import tree_put_global
+
+        g = tree_put_global(g, mesh, P())
     n = mesh.shape[axis]
     K = g.node_valid.shape[0]
     E = g.loop_valid.shape[0]
