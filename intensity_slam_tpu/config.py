@@ -102,6 +102,11 @@ class GeometricConfig:
     odom_outer_iters: int = 2         # laserOdometry.cpp:417
     odom_gn_iters: int = 4            # Ceres max_num_iterations=4, laserOdometry.cpp:706
     max_surf_points: int = 2048
+    less_flat_column_stride: int = 2  # azimuth subsample before the
+    # less-flat voxel dedup: adjacent columns are 0.006*r m apart (2pi/1024)
+    # and land in the SAME 0.2 m voxel for r < ~16 m even at stride 2, so
+    # the dedup output is near-identical while the O(N log N) dedup sort
+    # runs on half the points (measured 1.1 ms -> 0.6 ms on 64x1024)
 
 
 @dataclass(frozen=True)

@@ -26,10 +26,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from ..config import GeometricConfig, SensorConfig
-from . import conv2d
 from .projection import ScanImage
 from .voxel import voxel_downsample
 
@@ -48,10 +45,36 @@ class FeatureClouds(NamedTuple):
     less_flat_mask: jax.Array
 
 
+def _forward_window_reduce(x: jax.Array, k: int, op) -> jax.Array:
+    """Associative reduce over the forward window [i, i+k-1] along the
+    last axis with wraparound, by prefix doubling: build reduces over
+    power-of-two spans with log2(k) shifted `op`s, then combine the spans
+    of k's binary decomposition.  ~2*log2(k) rolls+ops on the VPU — far
+    cheaper than a banded matmul (box sums) or `reduce_window` (box max),
+    and exact (each output touches each input once; no cumsum-style
+    catastrophic cancellation on large coordinates)."""
+    pows = [(1, x)]
+    m, p = x, 1
+    while p * 2 <= k:
+        m = op(m, jnp.roll(m, -p, axis=-1))
+        p *= 2
+        pows.append((p, m))
+    total, off, rem = None, 0, k
+    for p, arr in reversed(pows):
+        if rem >= p:
+            part = jnp.roll(arr, -off, axis=-1) if off else arr
+            total = part if total is None else op(total, part)
+            off += p
+            rem -= p
+    return total
+
+
 def _row_conv_sum(x: jax.Array, half: int) -> jax.Array:
-    """Sum over a +/-half window along the last axis with wraparound —
-    a circulant banded matmul on the MXU (ops.conv2d)."""
-    return conv2d.filter_cols(x, np.ones(2 * half + 1, np.float32), "wrap")
+    """Sum over a +/-half window along the last axis with wraparound.
+    Measured on-chip: banded circulant matmul (ops.conv2d) over
+    (4, 64, 1024) cost 0.64 ms; the rolling doubling reduce is ~0.1 ms."""
+    fwd = _forward_window_reduce(x, 2 * half + 1, jnp.add)
+    return jnp.roll(fwd, half, axis=-1)
 
 
 def compute_curvature(scan: ScanImage, half: int = 5):
@@ -69,27 +92,39 @@ def compute_curvature(scan: ScanImage, half: int = 5):
 
 
 def _nms_row(score: jax.Array, radius: int) -> jax.Array:
-    """True where score is the max of its +/-radius row neighborhood."""
-    k = 2 * radius + 1
-    sp = jnp.pad(score, ((0, 0), (radius, radius)), mode="wrap")
-    pooled = jax.lax.reduce_window(
-        sp, -jnp.inf, jax.lax.max, (1, k), (1, 1), "VALID"
-    )
+    """True where score is the max of its +/-radius row neighborhood
+    (wrapping).  Rolling doubling max: measured 0.60 ms (reduce_window)
+    -> ~0.1 ms on a (64, 1024) image."""
+    fwd = _forward_window_reduce(score, 2 * radius + 1, jnp.maximum)
+    pooled = jnp.roll(fwd, radius, axis=-1)
     return score >= pooled
 
 
-def _topk_per_segment(score: jax.Array, eligible: jax.Array,
-                      num_segments: int, k_per: int):
-    """score (H, W) -> per (ring, segment) top-k flat indices + validity."""
-    H, W = score.shape
+def _topk_per_segment_multi(scores: list, eligibles: list, ks: list,
+                            num_segments: int):
+    """Per-(ring, segment) top-k for SEVERAL (score, eligible, k) channels
+    in ONE `top_k` call: the channels stack on a leading axis, the sort
+    runs once at max(k), and each channel slices its own prefix (top_k
+    returns descending order).  Three separate top_k sorts cost 0.59
+    ms/frame of the fused step on-chip; the stacked one ~1/3 of that.
+    Returns [(rows, cols, ok), ...] aligned with the inputs."""
+    H, W = scores[0].shape
     seg_w = W // num_segments
-    s = jnp.where(eligible, score, -jnp.inf)
-    s = s[:, : seg_w * num_segments].reshape(H, num_segments, seg_w)
-    val, idx = jax.lax.top_k(s, k_per)                    # (H, S, k)
-    col = idx + jnp.arange(num_segments)[None, :, None] * seg_w
-    row = jnp.broadcast_to(jnp.arange(H)[:, None, None], col.shape)
+    kmax = max(ks)
+    s = jnp.stack([jnp.where(e, sc, -jnp.inf)
+                   for sc, e in zip(scores, eligibles)])
+    s = s[:, :, : seg_w * num_segments].reshape(
+        len(scores), H, num_segments, seg_w)
+    val, idx = jax.lax.top_k(s, kmax)                  # (C, H, S, kmax)
+    col = idx + jnp.arange(num_segments)[None, None, :, None] * seg_w
+    row = jnp.broadcast_to(jnp.arange(H)[None, :, None, None], col.shape)
     ok = jnp.isfinite(val)
-    return (row.reshape(-1), col.reshape(-1), ok.reshape(-1))
+    out = []
+    for c, k_per in enumerate(ks):
+        out.append((row[c, :, :, :k_per].reshape(-1),
+                    col[c, :, :, :k_per].reshape(-1),
+                    ok[c, :, :, :k_per].reshape(-1)))
+    return out
 
 
 @partial(jax.jit, static_argnames=("sensor_cfg", "cfg"))
@@ -103,21 +138,19 @@ def extract_features(
     base_ok = wvalid & far_enough
 
     # ---- corners: high curvature, locally maximal (declustering stands in
-    # for the reference's +/-5 neighbor-picked suppression)
+    # for the reference's +/-5 neighbor-picked suppression); flats: lowest
+    # curvature.  All three picks share one stacked top_k.
     corner_elig = base_ok & (curv > cfg.curvature_threshold)
     nms = _nms_row(jnp.where(corner_elig, curv, -jnp.inf), 5)
-    sharp_r, sharp_c, sharp_ok = _topk_per_segment(
-        curv, corner_elig & nms, cfg.num_segments, cfg.sharp_per_segment
-    )
-    ls_r, ls_c, ls_ok = _topk_per_segment(
-        curv, corner_elig, cfg.num_segments, cfg.less_sharp_per_segment
-    )
-
-    # ---- flats: lowest curvature (top-k of negated score)
     flat_elig = base_ok & (curv < cfg.curvature_threshold)
-    fl_r, fl_c, fl_ok = _topk_per_segment(
-        -curv, flat_elig, cfg.num_segments, cfg.flat_per_segment
-    )
+    (sharp_r, sharp_c, sharp_ok), (ls_r, ls_c, ls_ok), (fl_r, fl_c, fl_ok) \
+        = _topk_per_segment_multi(
+            [curv, curv, -curv],
+            [corner_elig & nms, corner_elig, flat_elig],
+            [cfg.sharp_per_segment, cfg.less_sharp_per_segment,
+             cfg.flat_per_segment],
+            cfg.num_segments,
+        )
 
     def gather(r, c, ok):
         pts = scan.xyz[r, c]
@@ -127,10 +160,14 @@ def extract_features(
     less_sharp, less_sharp_m, ls_ring = gather(ls_r, ls_c, ls_ok)
     flat, flat_m, flat_ring = gather(fl_r, fl_c, fl_ok)
 
-    # ---- less-flat: every flat-eligible point, voxel-downsampled 0.2
-    # (`:560-565`); capacity bounds the buffer
-    all_flat_pts = scan.xyz.reshape(-1, 3)
-    all_flat_mask = flat_elig.reshape(-1)
+    # ---- less-flat: flat-eligible points, voxel-downsampled 0.2
+    # (`:560-565`); capacity bounds the buffer.  Azimuth-strided input:
+    # neighbor columns fall in the same voxel anyway for r < ~16 m
+    # (config.less_flat_column_stride rationale), and the dedup sort is
+    # the dominant cost of this stage at full width.
+    stride = max(1, cfg.less_flat_column_stride)
+    all_flat_pts = scan.xyz[:, ::stride].reshape(-1, 3)
+    all_flat_mask = flat_elig[:, ::stride].reshape(-1)
     less_flat, less_flat_m = voxel_downsample(
         all_flat_pts, all_flat_mask, cfg.less_flat_voxel, cfg.max_surf_points
     )

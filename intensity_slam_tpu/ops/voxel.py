@@ -39,9 +39,13 @@ def _compact(pts: jax.Array, mask: jax.Array, capacity: int):
     N = pts.shape[0]
     cum = jnp.cumsum(mask.astype(jnp.int32))
     rank = cum - 1
-    pos = jnp.arange(N, dtype=jnp.int32)
-    out_idx = jnp.where(mask & (rank < capacity), rank, capacity + pos)
-    out = jnp.zeros((capacity + N, 3)).at[out_idx].set(pts)[:capacity]
+    out_idx = jnp.where(mask & (rank < capacity), rank, capacity)
+    # losers share the single out-of-bounds index `capacity`: drop-mode
+    # scatters skip OOB updates outright (no write, no collision
+    # serialization), so the scatter materializes only `capacity` rows —
+    # measured 0.33 ms -> ~0.05 ms vs the old discard-region scheme that
+    # wrote all N losers into a (capacity + N) buffer
+    out = jnp.zeros((capacity, 3)).at[out_idx].set(pts, mode="drop")
     have = jnp.arange(capacity) < cum[-1]
     return jnp.where(have[:, None], out, 0.0), have
 
@@ -84,16 +88,15 @@ def voxel_downsample(
     prev = jnp.concatenate([jnp.array([jnp.iinfo(jnp.int32).min], jnp.int32),
                             sk[:-1]])
     winner = (sk != prev) & (sk != INVALID)
-    # compaction by CONFLICT-FREE scatter: the r-th winner writes slot r;
-    # every loser gets a unique slot in a discard region (capacity + its own
-    # position) so no two updates ever collide — colliding scatters
-    # serialize on TPU (naive "losers all write the overflow slot" cost
-    # ~0.8 ms; XLA's searchsorted lowers to a 17-step while loop, ~1 ms).
+    # compaction scatter: the r-th winner writes slot r; losers share the
+    # single OOB index `capacity`, which drop-mode scatters skip outright
+    # (no write, no collision serialization — unlike in-bounds colliding
+    # writes, which serialize on TPU and cost ~0.8 ms; XLA's searchsorted
+    # lowers to a 17-step while loop, ~1 ms).
     cum = jnp.cumsum(winner.astype(jnp.int32))
     rank = cum - 1
-    pos = jnp.arange(N, dtype=jnp.int32)
-    out_idx = jnp.where(winner & (rank < capacity), rank, capacity + pos)
-    out = jnp.zeros((capacity + N, 3)).at[out_idx].set(pts[si])[:capacity]
+    out_idx = jnp.where(winner & (rank < capacity), rank, capacity)
+    out = jnp.zeros((capacity, 3)).at[out_idx].set(pts[si], mode="drop")
     have = jnp.arange(capacity) < cum[-1]
     out = jnp.where(have[:, None], out, 0.0)
     return out, have

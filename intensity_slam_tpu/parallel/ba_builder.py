@@ -45,9 +45,13 @@ def build_problem(
     observations, L = K*F landmark slots, most weighted out)."""
     pc, fc = cfg.parallel, cfg.feature
     K, F = state.kf_feat_valid.shape
-    desc, xyz = state.kf_feat_desc, state.kf_feat_xyz
+    # feature payloads live at PHYSICAL slots in the live state; index
+    # through kf_slot to get logical keyframe order (identity after
+    # logical_view / shard_backend_state)
+    sl = state.kf_slot
+    desc, xyz = state.kf_feat_desc[sl], state.kf_feat_xyz[sl]
     kf_live = jnp.arange(K) < state.num_kf
-    valid = state.kf_feat_valid & kf_live[:, None]
+    valid = state.kf_feat_valid[sl] & kf_live[:, None]
 
     # --- root-id propagation over consecutive matches (one scan)
     def step(carry, inp):

@@ -60,7 +60,12 @@ def shard_backend_state(state: BackendState, mesh, axis: str = "data"
     `axis` (each shard owns a block of keyframes), graph + scalars
     replicated (poses are tiny; the clouds/descriptors are the bulk).
     Valid on single- and multi-process meshes (multiproc.put_global)."""
+    from ..pipeline.loop import logical_view
     from .multiproc import put_global
+
+    # payload arrays live at PHYSICAL slots in the live state; normalize to
+    # logical keyframe order so each shard owns a contiguous keyframe block
+    state = jax.jit(logical_view)(state)
 
     def kf(a):
         return put_global(a, mesh, P(axis))
@@ -86,6 +91,9 @@ def shard_backend_state(state: BackendState, mesh, axis: str = "data"
         kf_corner=kf(state.kf_corner),
         kf_corner_mask=kf(state.kf_corner_mask),
         last_loop_kf=rep(state.last_loop_kf),
+        kf_slot=rep(state.kf_slot),
+        free_slots=rep(state.free_slots),
+        free_count=rep(state.free_count),
     )
 
 

@@ -116,10 +116,16 @@ def fused_step(
         state.slam, xyz, inten, timestamp, detect_mask, _no_undistort(cfg)
     )
 
-    def kf_branch(sstate, bstate):
+    # The keyframe back-end runs under a cond carrying ONLY the small
+    # control state; the bulky payload arrays are read-only operands inside
+    # and are written by drop-mode slot scatters AFTER the cond — a cond
+    # branch that may rewrite a big array non-aliasably would otherwise
+    # force XLA to copy it through the conditional on EVERY frame
+    # (measured ~1 ms/frame; see loop.BackendState docstring).
+    def kf_branch(sstate, small):
         scan_valid = jnp.linalg.norm(xyz, axis=-1) >= cfg.sensor.min_range
-        bstate, bout = loop_mod.backend_step(
-            bstate, xyz, scan_valid, out.desc, out.desc_valid,
+        small, slot, bout = loop_mod.keyframe_core(
+            small, state.backend, xyz, scan_valid, out.desc, out.desc_valid,
             out.pose, timestamp, cfg,
             feat_xyz=out.feat_xyz,
             ground_pts=out.ground_ds, ground_mask=out.ground_ds_mask,
@@ -128,35 +134,46 @@ def fused_step(
         # --- live correction feedback (reference: updatePoses + tf
         # map->pgo_odom): re-base the mapping frame, move the raw anchors,
         # and (config-gated) rebuild the maps at the optimized poses
-        bstate = loop_mod.apply_correction(
-            bstate, bout.loop_found, bout.correction)
+        small = loop_mod.apply_correction(
+            small, bout.loop_found, bout.correction)
         # correction is identity when no loop was accepted, so the rebase
         # composes unconditionally
         mstate = mapping.apply_correction(sstate.mapping, bout.correction)
         if cfg.mapping.rebuild_on_loop:
-            mstate = jax.lax.cond(
-                bout.loop_found,
-                lambda ms: mapping.rebuild_maps(
-                    ms, bstate.kf_ground, bstate.kf_ground_mask,
-                    bstate.kf_corner, bstate.kf_corner_mask,
-                    bstate.graph.poses, bstate.num_kf, cfg),
-                lambda ms: ms,
-                mstate,
-            )
-        return sstate._replace(mapping=mstate), bstate, bout
+            def _rebuild(ms):
+                # logical views of the rebuild clouds; the CURRENT
+                # keyframe's payload is not in the store yet — patch it in
+                k = small.num_kf - 1
+                sl = small.kf_slot
+                gv = state.backend.kf_ground[sl].at[k].set(out.ground_ds)
+                gm = (state.backend.kf_ground_mask[sl]
+                      .at[k].set(out.ground_ds_mask))
+                cv = state.backend.kf_corner[sl].at[k].set(out.corner_ds)
+                cm = (state.backend.kf_corner_mask[sl]
+                      .at[k].set(out.corner_ds_mask))
+                return mapping.rebuild_maps(
+                    ms, gv, gm, cv, cm,
+                    small.graph.poses, small.num_kf, cfg)
 
-    def no_kf(sstate, bstate):
+            mstate = jax.lax.cond(
+                bout.loop_found, _rebuild, lambda ms: ms, mstate,
+            )
+        return sstate._replace(mapping=mstate), small, slot, bout
+
+    def no_kf(sstate, small):
         bout = loop_mod.BackendOutput(
             loop_found=jnp.asarray(False), loop_idx=jnp.int32(-1),
             icp_fitness=jnp.asarray(jnp.inf), correction=Pose.identity(),
             sc_found=jnp.asarray(False), sc_dist=jnp.asarray(jnp.inf),
             icp_inlier_frac=jnp.asarray(0.0), compacted=jnp.asarray(False),
         )
-        return sstate, bstate, bout
+        return sstate, small, loop_mod.empty_slot(cfg), bout
 
-    sstate, bstate, bout = jax.lax.cond(
-        out.is_keyframe, kf_branch, no_kf, sstate, state.backend
+    sstate, small, slot, bout = jax.lax.cond(
+        out.is_keyframe, kf_branch, no_kf,
+        sstate, loop_mod.small_of(state.backend),
     )
+    bstate = loop_mod.write_slot(state.backend, small, slot)
 
     # --- ring-log append.  The logged pose is expressed in the CURRENT era
     # frame: when this very frame accepted a loop, compose its correction in
@@ -283,9 +300,10 @@ def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig
     )
     mstate = mapping.apply_correction(state.slam.mapping, corr)
     if cfg.mapping.rebuild_on_loop:
+        sl = backend.kf_slot   # rebuild clouds live at physical slots
         mstate = mapping.rebuild_maps(
-            mstate, backend.kf_ground, backend.kf_ground_mask,
-            backend.kf_corner, backend.kf_corner_mask,
+            mstate, backend.kf_ground[sl], backend.kf_ground_mask[sl],
+            backend.kf_corner[sl], backend.kf_corner_mask[sl],
             backend.graph.poses, backend.num_kf, cfg)
     return state._replace(
         slam=state.slam._replace(mapping=mstate), backend=backend, log=log

@@ -41,9 +41,24 @@ from . import posegraph
 
 
 class BackendState(NamedTuple):
+    """Keyframe back-end state.
+
+    PHYSICAL vs LOGICAL layout: the bulky per-keyframe payload arrays
+    (clouds, feature sets, rebuild clouds — ~95 MB at full config) are
+    indexed by PHYSICAL slot; `kf_slot[i]` maps logical keyframe i to its
+    slot.  Everything else (graph, descriptors, times, raw anchors) is
+    logical-ordered.  Why: the per-frame fused program runs the whole
+    back-end under a keyframe-gated `lax.cond`, and ANY big array that a
+    cond branch may rewrite non-aliasably (the old decimation permuted
+    every payload array) forces XLA to copy it through the conditional on
+    EVERY frame, taken or not — measured ~1 ms/frame of pure copies on a
+    TPU v5e.  With the indirection, compaction rewrites only the small
+    slot table and payload writes are slot scatters OUTSIDE the cond
+    (`write_slot`), which alias in place under donation."""
+
     graph: posegraph.PoseGraph
-    kf_cloud: jax.Array       # (K, P, 3) sensor-frame subsampled clouds
-    kf_cloud_mask: jax.Array  # (K, P)
+    kf_cloud: jax.Array       # (K, P, 3) sensor-frame subsampled clouds [PHYS]
+    kf_cloud_mask: jax.Array  # (K, P)                                  [PHYS]
     kf_sc: jax.Array          # (K, R, S)
     kf_ringkey: jax.Array     # (K, R)
     kf_sig: jax.Array         # (K, V) bag-of-binary-words signatures (C8)
@@ -52,9 +67,9 @@ class BackendState(NamedTuple):
     # per-keyframe intensity features (the reference keeps full descriptor
     # sets per Keyframe, `keyframe.h:71-113`) — the raw material for the
     # distributed bundle-adjustment back-end (parallel.ba_builder)
-    kf_feat_desc: jax.Array   # (K, F, 8) uint32
-    kf_feat_xyz: jax.Array    # (K, F, 3) sensor-frame feature points
-    kf_feat_valid: jax.Array  # (K, F)
+    kf_feat_desc: jax.Array   # (K, F, 8) uint32                        [PHYS]
+    kf_feat_xyz: jax.Array    # (K, F, 3) sensor-frame feature points   [PHYS]
+    kf_feat_valid: jax.Array  # (K, F)                                  [PHYS]
     # RAW mapping-frame pose of each keyframe at ingestion time (the frame
     # its era's live frames were expressed in) — the per-keyframe anchor the
     # trajectory export differences against (`updatePoses` rewrite,
@@ -63,13 +78,137 @@ class BackendState(NamedTuple):
     # per-keyframe downsampled sensor-frame GROUND and CORNER clouds — the
     # raw material for rebuilding the scan-to-map voxel maps at optimized
     # poses after a loop closure (mapping.rebuild_maps)
-    kf_ground: jax.Array      # (K, Pg, 3)
-    kf_ground_mask: jax.Array  # (K, Pg)
-    kf_corner: jax.Array      # (K, Pc, 3)
-    kf_corner_mask: jax.Array  # (K, Pc)
+    kf_ground: jax.Array      # (K, Pg, 3)                              [PHYS]
+    kf_ground_mask: jax.Array  # (K, Pg)                                [PHYS]
+    kf_corner: jax.Array      # (K, Pc, 3)                              [PHYS]
+    kf_corner_mask: jax.Array  # (K, Pc)                                [PHYS]
     # keyframe index of the last ACCEPTED loop (cooldown gate); very
     # negative when none yet
     last_loop_kf: jax.Array   # () int32
+    # logical keyframe -> physical payload slot (see class docstring)
+    kf_slot: jax.Array        # (K,) int32
+    free_slots: jax.Array     # (K,) int32 stack of free physical slots
+    free_count: jax.Array     # () int32 — always K - num_kf
+
+
+# Fields of BackendState that are physical-slot payload (big) vs
+# logical-ordered control state (small).  keyframe_core carries only the
+# small fields through the keyframe cond; write_slot scatters the payload.
+_PAYLOAD_FIELDS = (
+    "kf_cloud", "kf_cloud_mask", "kf_feat_desc", "kf_feat_xyz",
+    "kf_feat_valid", "kf_ground", "kf_ground_mask", "kf_corner",
+    "kf_corner_mask",
+)
+
+
+class SmallState(NamedTuple):
+    """The cond-carried half of BackendState (everything but payloads)."""
+
+    graph: posegraph.PoseGraph
+    kf_sc: jax.Array
+    kf_ringkey: jax.Array
+    kf_sig: jax.Array
+    kf_time: jax.Array
+    num_kf: jax.Array
+    kf_raw: Pose
+    last_loop_kf: jax.Array
+    kf_slot: jax.Array
+    free_slots: jax.Array
+    free_count: jax.Array
+
+
+class SlotData(NamedTuple):
+    """One keyframe's payload + its physical slot.  `phys` = K (out of
+    bounds) when the frame was not a keyframe — the drop-mode scatters in
+    `write_slot` then write nothing."""
+
+    phys: jax.Array           # () int32
+    cloud: jax.Array          # (P, 3)
+    cloud_mask: jax.Array     # (P,)
+    feat_desc: jax.Array      # (F, 8) uint32
+    feat_xyz: jax.Array       # (F, 3)
+    feat_valid: jax.Array     # (F,)
+    ground: jax.Array         # (Pg, 3)
+    ground_mask: jax.Array    # (Pg,)
+    corner: jax.Array         # (Pc, 3)
+    corner_mask: jax.Array    # (Pc,)
+
+
+def small_of(state: BackendState) -> SmallState:
+    return SmallState(
+        graph=state.graph, kf_sc=state.kf_sc, kf_ringkey=state.kf_ringkey,
+        kf_sig=state.kf_sig, kf_time=state.kf_time, num_kf=state.num_kf,
+        kf_raw=state.kf_raw, last_loop_kf=state.last_loop_kf,
+        kf_slot=state.kf_slot, free_slots=state.free_slots,
+        free_count=state.free_count,
+    )
+
+
+def merge_small(state: BackendState, small: SmallState) -> BackendState:
+    return state._replace(
+        graph=small.graph, kf_sc=small.kf_sc, kf_ringkey=small.kf_ringkey,
+        kf_sig=small.kf_sig, kf_time=small.kf_time, num_kf=small.num_kf,
+        kf_raw=small.kf_raw, last_loop_kf=small.last_loop_kf,
+        kf_slot=small.kf_slot, free_slots=small.free_slots,
+        free_count=small.free_count,
+    )
+
+
+def empty_slot(cfg: SlamConfig) -> SlotData:
+    lc = cfg.loop
+    K, P = lc.max_keyframes, lc.keyframe_cloud_size
+    F = cfg.feature.num_features
+    Pg = cfg.mapping.max_query_points
+    Pc = cfg.mapping.max_query_points // 2
+    return SlotData(
+        phys=jnp.int32(K),
+        cloud=jnp.zeros((P, 3), jnp.float32),
+        cloud_mask=jnp.zeros((P,), bool),
+        feat_desc=jnp.zeros((F, 8), jnp.uint32),
+        feat_xyz=jnp.zeros((F, 3), jnp.float32),
+        feat_valid=jnp.zeros((F,), bool),
+        ground=jnp.zeros((Pg, 3), jnp.float32),
+        ground_mask=jnp.zeros((Pg,), bool),
+        corner=jnp.zeros((Pc, 3), jnp.float32),
+        corner_mask=jnp.zeros((Pc,), bool),
+    )
+
+
+def write_slot(state: BackendState, small: SmallState, slot: SlotData
+               ) -> BackendState:
+    """Merge the cond-carried small state and scatter the payload into its
+    physical slot.  With `phys` out of bounds (no keyframe) the drop-mode
+    scatters are no-ops; under donation everything updates in place — no
+    conditional ever owns a payload buffer."""
+    p = slot.phys
+    d = dict(mode="drop")
+    return merge_small(state, small)._replace(
+        kf_cloud=state.kf_cloud.at[p].set(slot.cloud, **d),
+        kf_cloud_mask=state.kf_cloud_mask.at[p].set(slot.cloud_mask, **d),
+        kf_feat_desc=state.kf_feat_desc.at[p].set(slot.feat_desc, **d),
+        kf_feat_xyz=state.kf_feat_xyz.at[p].set(slot.feat_xyz, **d),
+        kf_feat_valid=state.kf_feat_valid.at[p].set(slot.feat_valid, **d),
+        kf_ground=state.kf_ground.at[p].set(slot.ground, **d),
+        kf_ground_mask=state.kf_ground_mask.at[p].set(slot.ground_mask, **d),
+        kf_corner=state.kf_corner.at[p].set(slot.corner, **d),
+        kf_corner_mask=state.kf_corner_mask.at[p].set(slot.corner_mask, **d),
+    )
+
+
+def logical_view(state: BackendState) -> BackendState:
+    """BackendState with payload arrays gathered into LOGICAL keyframe
+    order (kf_slot becomes the identity).  For consumers that index
+    payloads by keyframe id directly: the distributed back-end
+    (ba_builder, shard_backend_state) and host-side analysis."""
+    s = state.kf_slot
+    K = s.shape[0]
+    out = {f: getattr(state, f)[s] for f in _PAYLOAD_FIELDS}
+    return state._replace(
+        kf_slot=jnp.arange(K, dtype=jnp.int32),
+        free_slots=jnp.arange(K - 1, -1, -1, dtype=jnp.int32),
+        free_count=K - state.num_kf,
+        **out,
+    )
 
 
 class BackendOutput(NamedTuple):
@@ -113,41 +252,46 @@ def init_state(cfg: SlamConfig) -> BackendState:
         kf_corner=jnp.zeros((K, Pc, 3), jnp.float32),
         kf_corner_mask=jnp.zeros((K, Pc), bool),
         last_loop_kf=jnp.int32(-(1 << 30)),
+        kf_slot=jnp.arange(K, dtype=jnp.int32),
+        free_slots=jnp.arange(K - 1, -1, -1, jnp.int32),
+        free_count=jnp.int32(K),
     )
 
 
-def _compact_state(st: BackendState) -> BackendState:
-    """Keyframe-store half of the decimation (see posegraph.compact_half):
-    even-indexed keyframes survive; upper-half slots become stale payload
-    masked out by `num_kf`."""
-    K = st.kf_cloud.shape[0]
+def _compact_small(st: SmallState) -> SmallState:
+    """Decimate-by-2 on the SMALL state only (see posegraph.compact_half):
+    even-indexed keyframes survive; odd keyframes' physical payload slots
+    are pushed back onto the free stack — the payload arrays themselves
+    are never touched (BackendState docstring)."""
+    K = st.kf_slot.shape[0]
     idx = jnp.arange(K)
     src = jnp.minimum(2 * idx, K - 1)
     new_num = (st.num_kf + 1) // 2
-    live = idx < new_num
-    return BackendState(
+    # free the odd logical ids' physical slots: j = 1, 3, ... < num_kf
+    n_freed = st.num_kf // 2
+    odd = jnp.minimum(2 * idx + 1, K - 1)
+    phys_freed = st.kf_slot[odd]                      # (K,) first n_freed real
+    tgt = jnp.where(idx < n_freed, st.free_count + idx, K)
+    free_slots = st.free_slots.at[tgt].set(phys_freed, mode="drop")
+    return SmallState(
         graph=posegraph.compact_half(st.graph),
-        kf_cloud=st.kf_cloud[src],
-        kf_cloud_mask=st.kf_cloud_mask[src] & live[:, None],
         kf_sc=st.kf_sc[src],
         kf_ringkey=st.kf_ringkey[src],
         kf_sig=st.kf_sig[src],
         kf_time=st.kf_time[src],
         num_kf=new_num,
-        kf_feat_desc=st.kf_feat_desc[src],
-        kf_feat_xyz=st.kf_feat_xyz[src],
-        kf_feat_valid=st.kf_feat_valid[src] & live[:, None],
         kf_raw=jax.tree.map(lambda a: a[src], st.kf_raw),
-        kf_ground=st.kf_ground[src],
-        kf_ground_mask=st.kf_ground_mask[src] & live[:, None],
-        kf_corner=st.kf_corner[src],
-        kf_corner_mask=st.kf_corner_mask[src] & live[:, None],
         last_loop_kf=st.last_loop_kf // 2,
+        kf_slot=st.kf_slot[src],
+        free_slots=free_slots,
+        free_count=st.free_count + n_freed,
     )
 
 
-def backend_step(
-    state: BackendState,
+def keyframe_core(
+    small: SmallState,
+    payload: BackendState,    # PAYLOAD READS ONLY (kf_cloud via kf_slot);
+    # never modified — safe as a read-only operand of an enclosing cond
     scan_xyz: jax.Array,      # (N, 3) sensor-frame scan of this keyframe
     scan_mask: jax.Array,     # (N,)
     desc: jax.Array,          # (F, 8) uint32 keyframe feature descriptors
@@ -161,19 +305,24 @@ def backend_step(
     ground_mask: jax.Array | None = None,  # ground cloud (map rebuild input)
     corner_pts: jax.Array | None = None,   # (Pc, 3) downsampled corner cloud
     corner_mask: jax.Array | None = None,
-) -> tuple[BackendState, BackendOutput]:
+) -> tuple[SmallState, SlotData, BackendOutput]:
+    """One keyframe's back-end work on the cond-carried small state: slot
+    allocation, graph node, loop detect, ICP verify, PGO.  Returns the
+    payload as SlotData for the caller to scatter via `write_slot` OUTSIDE
+    any conditional (see BackendState docstring for why)."""
     lc = cfg.loop
 
     # --- capacity: decimate the store + graph by 2 when full (no silent
     # clobber; host side mirrors via the `compacted` output flag)
-    need_compact = state.num_kf >= lc.max_keyframes
-    state = jax.lax.cond(
-        need_compact, _compact_state, lambda st: st, state
+    need_compact = small.num_kf >= lc.max_keyframes
+    small = jax.lax.cond(
+        need_compact, _compact_small, lambda st: st, small
     )
-    k = state.num_kf
+    k = small.num_kf
 
-    # --- ingest: node + cloud + descriptors
-    graph = posegraph.add_node(state.graph, map_pose)
+    # --- ingest: physical slot + node + descriptors
+    phys = small.free_slots[small.free_count - 1]
+    graph = posegraph.add_node(small.graph, map_pose)
     if lc.use_voxel:
         cloud, cmask = voxel_downsample(
             scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
@@ -184,32 +333,32 @@ def backend_step(
     rk = scancontext.ring_key(sc)
     sig = bow.signature(desc, desc_valid)
     if feat_xyz is None:
-        feat_xyz = jnp.zeros_like(state.kf_feat_xyz[0])
+        feat_xyz = jnp.zeros_like(payload.kf_feat_xyz[0])
     if ground_pts is None:
-        ground_pts = jnp.zeros_like(state.kf_ground[0])
-        ground_mask = jnp.zeros_like(state.kf_ground_mask[0])
+        ground_pts = jnp.zeros_like(payload.kf_ground[0])
+        ground_mask = jnp.zeros_like(payload.kf_ground_mask[0])
     if corner_pts is None:
-        corner_pts = jnp.zeros_like(state.kf_corner[0])
-        corner_mask = jnp.zeros_like(state.kf_corner_mask[0])
-    state = state._replace(
-        graph=graph,
-        kf_cloud=state.kf_cloud.at[k].set(cloud),
-        kf_cloud_mask=state.kf_cloud_mask.at[k].set(cmask),
-        kf_sc=state.kf_sc.at[k].set(sc),
-        kf_ringkey=state.kf_ringkey.at[k].set(rk),
-        kf_sig=state.kf_sig.at[k].set(sig),
-        kf_time=state.kf_time.at[k].set(timestamp),
-        num_kf=k + 1,
-        kf_feat_desc=state.kf_feat_desc.at[k].set(desc),
-        kf_feat_xyz=state.kf_feat_xyz.at[k].set(feat_xyz),
-        kf_feat_valid=state.kf_feat_valid.at[k].set(desc_valid),
-        kf_raw=jax.tree.map(
-            lambda a, v: a.at[k].set(v), state.kf_raw, map_pose),
-        kf_ground=state.kf_ground.at[k].set(ground_pts),
-        kf_ground_mask=state.kf_ground_mask.at[k].set(ground_mask),
-        kf_corner=state.kf_corner.at[k].set(corner_pts),
-        kf_corner_mask=state.kf_corner_mask.at[k].set(corner_mask),
+        corner_pts = jnp.zeros_like(payload.kf_corner[0])
+        corner_mask = jnp.zeros_like(payload.kf_corner_mask[0])
+    slot = SlotData(
+        phys=phys, cloud=cloud, cloud_mask=cmask,
+        feat_desc=desc, feat_xyz=feat_xyz, feat_valid=desc_valid,
+        ground=ground_pts, ground_mask=ground_mask,
+        corner=corner_pts, corner_mask=corner_mask,
     )
+    small = small._replace(
+        graph=graph,
+        kf_sc=small.kf_sc.at[k].set(sc),
+        kf_ringkey=small.kf_ringkey.at[k].set(rk),
+        kf_sig=small.kf_sig.at[k].set(sig),
+        kf_time=small.kf_time.at[k].set(timestamp),
+        num_kf=k + 1,
+        kf_raw=jax.tree.map(
+            lambda a, v: a.at[k].set(v), small.kf_raw, map_pose),
+        kf_slot=small.kf_slot.at[k].set(phys),
+        free_count=small.free_count - 1,
+    )
+    state = small  # detection below reads only small-state fields
 
     # --- detect: the reference hard-switches between three strategies
     # (`loop_closure_handler.cpp:94-96`: USE_ORBLOOP / USE_SCANCONTEXT /
@@ -286,7 +435,7 @@ def backend_step(
     plausible = sep <= 3.0 * env_sd + 1.0
     found = (sc_found | bow_found | rad_found) & cooled & plausible
 
-    def verify_and_close(st: BackendState):
+    def verify_and_close(st: SmallState):
         g = st.graph
         T_cur = jax.tree.map(lambda a: a[k], g.poses)
         T_loop = jax.tree.map(lambda a: a[loop_idx], g.poses)
@@ -307,8 +456,10 @@ def backend_step(
             i = idxs[wi]
             Ti = jax.tree.map(lambda a: a[i], g.poses)
             rel_i = se3.compose(se3.inverse(T_loop), Ti)
-            tgt_parts.append(se3.transform_points(rel_i, st.kf_cloud[i]))
-            tgt_masks.append(st.kf_cloud_mask[i])
+            si = st.kf_slot[i]   # payload lives at the physical slot
+            tgt_parts.append(
+                se3.transform_points(rel_i, payload.kf_cloud[si]))
+            tgt_masks.append(payload.kf_cloud_mask[si])
         tgt = jnp.concatenate(tgt_parts)
         tgt_mask = jnp.concatenate(tgt_masks)
         # source: current cloud in its own sensor frame; ICP solves
@@ -322,8 +473,10 @@ def backend_step(
         # silently rejected by the fitness gate.  Translation stays zero —
         # a true revisit's offset is small, while the graph's relative
         # TRANSLATION carries the very drift the loop must measure.
-        src = st.kf_cloud[k]
-        src_mask = st.kf_cloud_mask[k]
+        # current keyframe's cloud is the local payload — it has not been
+        # scattered into the store yet (write_slot runs after the cond)
+        src = cloud
+        src_mask = cmask
         half = 0.5 * jnp.where(sc_found, yaw if lc.use_scancontext else 0.0,
                                0.0)
         q_sc = jnp.stack([jnp.cos(half), jnp.zeros_like(half),
@@ -419,7 +572,7 @@ def backend_step(
             compacted=need_compact,
         )
 
-    def no_loop(st: BackendState):
+    def no_loop(st: SmallState):
         return st, BackendOutput(
             loop_found=jnp.asarray(False), loop_idx=jnp.int32(-1),
             icp_fitness=jnp.asarray(jnp.inf),
@@ -429,15 +582,43 @@ def backend_step(
             compacted=need_compact,
         )
 
-    return jax.lax.cond(found, verify_and_close, no_loop, state)
+    small, bout = jax.lax.cond(found, verify_and_close, no_loop, state)
+    return small, slot, bout
 
 
-def apply_correction(
-    st: BackendState, accepted: jax.Array, corr: Pose
-) -> BackendState:
+def backend_step(
+    state: BackendState,
+    scan_xyz: jax.Array,
+    scan_mask: jax.Array,
+    desc: jax.Array,
+    desc_valid: jax.Array,
+    map_pose: Pose,
+    timestamp: jax.Array,
+    cfg: SlamConfig,
+    feat_xyz: jax.Array | None = None,
+    ground_pts: jax.Array | None = None,
+    ground_mask: jax.Array | None = None,
+    corner_pts: jax.Array | None = None,
+    corner_mask: jax.Array | None = None,
+) -> tuple[BackendState, BackendOutput]:
+    """Whole-state keyframe step: `keyframe_core` + `write_slot`.  The
+    fused per-frame program calls the two halves itself so the payload
+    writes land outside the keyframe cond; this wrapper is the standalone
+    (always-a-keyframe) entry used by tests and benchmarks."""
+    small, slot, bout = keyframe_core(
+        small_of(state), state, scan_xyz, scan_mask, desc, desc_valid,
+        map_pose, timestamp, cfg, feat_xyz=feat_xyz,
+        ground_pts=ground_pts, ground_mask=ground_mask,
+        corner_pts=corner_pts, corner_mask=corner_mask,
+    )
+    return write_slot(state, small, slot), bout
+
+
+def apply_correction(st, accepted: jax.Array, corr: Pose):
     """Rebase the backend's raw anchors after the LIVE system adopts `corr`
     (the raw->PGO-frame correction of an accepted loop at the CURRENT
-    keyframe).
+    keyframe).  `st` may be a BackendState or a SmallState — only the
+    common fields (kf_raw, num_kf, graph) are touched.
 
     Once the fused step left-composes `corr` onto `mapping.T_map_odom`,
     every subsequent mapped pose arrives in the corrected frame, so: the

@@ -48,6 +48,14 @@ class OdometryState(NamedTuple):
     last_kf_time: jax.Array    # () f32
     last_kf_pos: jax.Array     # (3,) f32
     frame_idx: jax.Array       # () int32
+    # NOTE: a constant-velocity warm start of the solve (previous delta as
+    # init) was tried and REVERTED: under motion undistortion the scan is
+    # already corrected with a velocity prediction (slam.SlamState
+    # .last_delta EMA), and warm-starting the solve from the previous
+    # estimate re-couples consecutive frames through that feedback loop —
+    # circuit ATE degraded 0.56 m -> 0.77 m (3.49 m with full-20-iter LM).
+    # Identity init + the consecutive-rejection LM exit is both faster and
+    # more accurate.
 
 
 class OdometryOutput(NamedTuple):
