@@ -185,12 +185,15 @@ class LoopConfig:
     icp_min_inlier_frac: float = 0.3  # coverage gate (see ops.icp fitness note)
     icp_iters: int = 32               # PCL ICP 100 iters; batched fixed-iter here (intensity_feature_tracker.cpp:220-224)
     icp_max_corr: float = 100.0       # setMaxCorrespondenceDistance, :221
-    bow_score_threshold: float = 0.82 # accept gate for OUR random-codebook
-    # L1 signatures.  The reference gates DBoW raw scores at
-    # min_loop_bow_threshold 0.013 (spot.yaml:38) — a different score scale;
-    # this value is the calibrated equivalent and, like the reference's, it
-    # proposes aggressively and relies on ICP verification to reject.
-    # (The reference's `skiped_frames` yaml param is read but never used,
+    bow_score_threshold: float = 0.04 # accept gate for the mutual-match
+    # descriptor channel (ops.bow): fraction of the current keyframe's
+    # strongest descriptors with a MUTUAL <=24-bit match in the candidate.
+    # Calibrated on the circuit battery (detector precision 0.94 / recall
+    # 0.94 at 0.04; tools/loop_eval.py).  The reference gates DBoW raw
+    # scores at min_loop_bow_threshold 0.013 (spot.yaml:38) — a different
+    # score scale; like the reference's, this gate proposes aggressively
+    # and relies on ICP verification to reject.  (The reference's
+    # `skiped_frames` yaml param is read but never used,
     # `loop_closure_handler.cpp:133-139` — omitted here.)
     min_loop_search_gap: int = 20     # spot.yaml:39
     # cooldown after an ACCEPTED loop: skip detection for this many

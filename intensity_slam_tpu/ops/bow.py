@@ -1,26 +1,31 @@
-"""Bag-of-binary-words image signatures — the DBoW3 replacement (C8).
+"""Appearance loop detection from binary descriptors — the DBoW3
+replacement (C8).
 
 The reference's launched loop strategy queries a DBoW3 database of ORB
 descriptors (`loop_closure_handler.cpp:94-96,127-188`: top-4 candidates,
 excluding the last MIN_LOOP_SEARCH_GAP frames, accept score >
-MIN_LOOP_BOW_TH 0.013, then `db_.add`).  DBoW3's vocabulary is a
-hierarchically-clustered tree walked per descriptor on the CPU — pointer
-chasing the TPU replaces with dense similarity:
+MIN_LOOP_BOW_TH 0.013, then `db_.add`).  DBoW3's hierarchical vocabulary
+is a CPU pointer-chasing structure; rounds 1-3 replaced it with a
+random-codebook histogram (LSH), which round 4's evaluation battery
+measured to be pure noise on this data: true-revisit pair scores 0.741 vs
+false 0.724 — zero recall at any usable threshold.
 
-- vocabulary: a FIXED random codebook of V 256-bit words (deterministic
-  seed).  Random codebooks are the standard LSH degeneration of learned
-  vocabularies; at V=256 the quantization statistics are comparable for
-  matching purposes.
-- signature: histogram of nearest-word assignments over the keyframe's
-  descriptors, L1-normalized — computed as one (K_feat x V) Hamming matrix
-  + argmin + one scatter.
-- score: DBoW L1 score s(v, w) = 1 - 0.5 * |v - w|_1 on normalized
-  signatures (range [0, 1], higher = more similar), evaluated against the
-  WHOLE keyframe history in one (K_hist, V) pass.
+The TPU-native design that DOES work is to skip vocabulary quantization
+entirely and score candidate pairs by EXACT mutual descriptor matching —
+the computation DBoW exists to approximate, affordable here because the
+(S x K*S) Hamming tensor is one fused popcount pass on the VPU:
 
-Reference quirk recorded, not replicated: `detectLoop` only returns a
-candidate when `min_index < 6` (`loop_closure_handler.cpp:179-184`), which
-restricts loops to the first six keyframes of the map.
+- signature: the S strongest descriptors of the keyframe (detection is
+  top-k by corner response, so the strongest = the most re-detectable),
+  with a validity word appended.
+- score(cur, hist_k) = fraction of cur's descriptors with a MUTUAL
+  nearest neighbor in hist_k at Hamming <= MUT_HAMMING bits.  Mutality +
+  the tight bit budget is what separates: one-way sub-64-bit matches
+  exist by chance anywhere (measured: 0.89 true vs 0.87 false), mutual
+  sub-24-bit matches almost only at true revisits (circuit, 5 noise
+  seeds: detector precision 0.94 / recall 0.94 at threshold 0.04).
+- the ICP + drift-envelope + chi2 gates downstream kill the residual
+  false accepts, as they do for ScanContext.
 """
 
 from __future__ import annotations
@@ -29,41 +34,49 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..config import LoopConfig
 
-VOCAB_SIZE = 256
-
-
-def _make_codebook(seed: int = 7, vocab: int = VOCAB_SIZE) -> np.ndarray:
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 1 << 32, size=(vocab, 8), dtype=np.uint64).astype(np.uint32)
-
-
-_CODEBOOK = jnp.asarray(_make_codebook())  # (V, 8) uint32
+SIG_FEATURES = 256    # strongest descriptors kept per keyframe
+MUT_HAMMING = 24      # max bits (of 256) for a mutual match to count
+VOCAB_SIZE = SIG_FEATURES  # retained name: historical (histogram era)
 
 
 @jax.jit
 def signature(desc: jax.Array, valid: jax.Array) -> jax.Array:
-    """(K, 8) uint32 descriptors + (K,) mask -> (V,) L1-normalized histogram."""
-    x = jnp.bitwise_xor(desc[:, None, :], _CODEBOOK[None, :, :])
-    d = jnp.sum(jax.lax.population_count(x), axis=-1)      # (K, V)
-    word = jnp.argmin(d, axis=-1)                          # (K,)
-    w = valid.astype(jnp.float32)
-    hist = jnp.zeros((VOCAB_SIZE,), jnp.float32).at[word].add(w)
-    return hist / jnp.maximum(jnp.sum(hist), 1e-6)
+    """(F, 8) uint32 descriptors + (F,) mask -> (S, 9) uint32 signature:
+    the S strongest descriptors (detection order is strength order) with
+    their validity packed as a 9th word."""
+    F = desc.shape[0]
+    S = SIG_FEATURES
+    if F >= S:
+        d, v = desc[:S], valid[:S]
+    else:
+        d = jnp.zeros((S, 8), jnp.uint32).at[:F].set(desc)
+        v = jnp.zeros((S,), bool).at[:F].set(valid)
+    return jnp.concatenate([d, v.astype(jnp.uint32)[:, None]], axis=-1)
 
 
-def l1_score(a: jax.Array, b: jax.Array) -> jax.Array:
-    """DBoW L1 similarity: 1 - 0.5 |a - b|_1; broadcasts over leading dims."""
-    return 1.0 - 0.5 * jnp.sum(jnp.abs(a - b), axis=-1)
+def _chunk_scores(cd, cv, hd, hv):
+    """cur (S,8)+(S,) vs hist chunk (C,S,8)+(C,S) -> (C,) mutual-match
+    fraction."""
+    S = cd.shape[0]
+    x = jnp.bitwise_xor(cd[None, :, None, :], hd[:, None, :, :])
+    h = jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+    h = jnp.where(hv[:, None, :], h, 4096)
+    h = jnp.where(cv[None, :, None], h, 4096)
+    best = jnp.min(h, axis=2)                      # (C, S)
+    fwd = jnp.argmin(h, axis=2)
+    bwd = jnp.argmin(h, axis=1)                    # (C, S)
+    mutual = jnp.take_along_axis(bwd, fwd, axis=1) == jnp.arange(S)[None, :]
+    ok = cv[None, :] & (best <= MUT_HAMMING) & mutual
+    return jnp.sum(ok, axis=1) / jnp.maximum(jnp.sum(cv), 1)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
 def detect_loop(
-    cur_sig: jax.Array,      # (V,)
-    hist_sig: jax.Array,     # (K, V)
+    cur_sig: jax.Array,      # (S, 9) uint32
+    hist_sig: jax.Array,     # (K, S, 9)
     hist_valid: jax.Array,   # (K,)
     cur_idx: jax.Array,      # ()
     cfg: LoopConfig,
@@ -71,15 +84,23 @@ def detect_loop(
     """Returns (loop_idx (), score (), found ()).
 
     Candidates exclude the most recent `min_loop_search_gap` keyframes
-    (`spot.yaml:39`); accept when the best score exceeds
-    `bow_score_threshold` (our signature scale; the reference's 0.013 is on
-    the DBoW raw-score scale, `spot.yaml:38`).
-    """
-    K = hist_sig.shape[0]
+    (`spot.yaml:39`); accept when the best mutual-match fraction exceeds
+    `bow_score_threshold`."""
+    K, S = hist_sig.shape[0], hist_sig.shape[1]
+    cd, cv = cur_sig[:, :8], cur_sig[:, 8] > 0
+    hd, hv = hist_sig[:, :, :8], hist_sig[:, :, 8] > 0
+    C = min(128, K)   # bound the (C, S, S) Hamming transient to ~33 MB
+    if K % C == 0 and K > C:
+        hd_c = hd.reshape(K // C, C, S, 8)
+        hv_c = hv.reshape(K // C, C, S)
+        s = jax.lax.map(
+            lambda ch: _chunk_scores(cd, cv, ch[0], ch[1]), (hd_c, hv_c)
+        ).reshape(K)
+    else:
+        s = _chunk_scores(cd, cv, hd, hv)
     eligible = hist_valid & (
         jnp.arange(K) < cur_idx - cfg.min_loop_search_gap
     )
-    s = l1_score(hist_sig, cur_sig[None, :])
     s = jnp.where(eligible, s, -jnp.inf)
     best = jnp.argmax(s)
     best_score = s[best]

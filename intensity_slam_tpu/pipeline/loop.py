@@ -240,7 +240,7 @@ def init_state(cfg: SlamConfig) -> BackendState:
         kf_cloud_mask=jnp.zeros((K, P), bool),
         kf_sc=jnp.zeros((K, lc.sc_num_ring, lc.sc_num_sector), jnp.float32),
         kf_ringkey=jnp.zeros((K, lc.sc_num_ring), jnp.float32),
-        kf_sig=jnp.zeros((K, bow.VOCAB_SIZE), jnp.float32),
+        kf_sig=jnp.zeros((K, bow.SIG_FEATURES, 9), jnp.uint32),
         kf_time=jnp.zeros((K,), jnp.float32),
         num_kf=jnp.int32(0),
         kf_feat_desc=jnp.zeros((K, F, 8), jnp.uint32),

@@ -1,0 +1,250 @@
+#!/usr/bin/env python
+"""Loop-closure evaluation battery (VERDICT r3 item 4).
+
+Three worlds x four detection-channel configurations x N noise seeds, full
+SlamConfig, on the real chip:
+
+  worlds:   circuit        — the standard hard benchmark, 1.5 laps so the
+                             second lap is continuous revisit
+            figure8        — nested figure-eight; the shared middle leg
+                             repeats every ~200 m: early + frequent
+                             revisits (cooldown/pre-gate/PGO interaction)
+            aliased        — 80 m corridor whose geometry AND texture tile
+                             every 10 m, traversed out-and-back: every
+                             return frame is a true revisit while aliased
+                             WRONG candidates sit one period away
+  channels: sc / bow / radius — each strategy alone (the reference ships
+            BoW as the launched strategy, loop_closure_handler.cpp:94-96;
+            ScanContext + kd-radius are its compiled-in alternatives) —
+            plus `all` (this framework's default: every channel gated on)
+
+Per run: accepted loops with ground-truth correctness (a loop (i, j) is
+CORRECT iff the true keyframe positions are within GT_NEAR_M), per-channel
+precision, opportunity-coverage recall, LIVE trajectory error (the pose
+the system believed at dispatch time, not the post-hoc corrected export),
+and the corrected-export ATE.  Writes RESULTS_loops.json.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from intensity_slam_tpu.utils.platform import honor_env_platform
+
+honor_env_platform()
+
+import dataclasses
+
+from intensity_slam_tpu import config
+from intensity_slam_tpu.io import synthetic
+from intensity_slam_tpu.pipeline.system import SlamSystem
+from intensity_slam_tpu.utils import se3
+
+GT_NEAR_M = 3.0      # a loop (i, j) is correct iff |gt_i - gt_j| < this
+SCAN_DT = 0.1
+
+
+def _world(name: str, frames: int):
+    if name == "circuit":
+        w = synthetic.circuit_world()
+        p = synthetic.circuit_trajectory(frames, speed=0.4)
+    elif name == "figure8":
+        w = synthetic.figure_eight_world()
+        p = synthetic.figure_eight_trajectory(frames, speed=0.4)
+    elif name == "aliased":
+        w = synthetic.aliased_corridor_world()
+        p = synthetic.aliased_corridor_trajectory(frames, speed=0.4)
+    else:
+        raise ValueError(name)
+    return w, p
+
+
+def _channel_cfg(base: config.SlamConfig, channel: str) -> config.SlamConfig:
+    lc = base.loop
+    flags = {
+        "sc": (True, False, False),
+        "bow": (False, True, False),
+        "radius": (False, False, True),
+        "all": (lc.use_scancontext, lc.use_bow_loop, lc.use_radius_search),
+    }[channel]
+    return base.replace(loop=dataclasses.replace(
+        lc, use_scancontext=flags[0], use_bow_loop=flags[1],
+        use_radius_search=flags[2]))
+
+
+def _render(world, poses, cfg, seed: int, frames: int,
+            world_name: str = ""):
+    # rendering a noisy 64x1024 sequence costs ~1.5 min on the dev rig's
+    # remote chip — cache finished sequences on disk keyed by
+    # (world, seed, frames); the battery reruns then skip straight to SLAM
+    cache = None
+    if world_name:
+        cdir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".render_cache")
+        os.makedirs(cdir, exist_ok=True)
+        cache = os.path.join(
+            cdir, f"{world_name}_s{seed}_f{frames}_"
+            f"{cfg.sensor.image_height}x{cfg.sensor.image_width}.npz")
+        if os.path.exists(cache):
+            d = np.load(cache)
+            return jnp.asarray(d["xyz"]), jnp.asarray(d["inten"])
+    noise = synthetic.DEFAULT_NOISE
+    render = jax.jit(lambda q, t, s, key: synthetic.render_sequence(
+        se3.Pose(q, t), world, cfg.sensor, noise=noise, key=key,
+        times=s * SCAN_DT + SCAN_DT * jnp.arange(q.shape[0],
+                                                 dtype=jnp.float32)))
+    chunks = []
+    CH = 32
+    for s in range(0, frames, CH):
+        key = jax.random.PRNGKey(seed * 100003 + s)
+        cx, ci = render(poses.q[s:s + CH], poses.t[s:s + CH],
+                        jnp.float32(s), key)
+        chunks.append((np.asarray(cx), np.asarray(ci)))
+    xyz_np = np.concatenate([c[0] for c in chunks])
+    inten_np = np.concatenate([c[1] for c in chunks])
+    if cache:
+        np.savez_compressed(cache, xyz=xyz_np, inten=inten_np)
+    return jnp.asarray(xyz_np), jnp.asarray(inten_np)
+
+
+def _evaluate(sys_: SlamSystem, gt_t: np.ndarray, live_t: np.ndarray,
+              cfg: config.SlamConfig) -> dict:
+    lc = cfg.loop
+    bst = sys_.bstate
+    n_kf = int(bst.num_kf)
+    kf_times = np.asarray(bst.kf_time[:n_kf])
+    kf_frame = np.clip(np.round(kf_times / SCAN_DT).astype(int), 0,
+                       len(gt_t) - 1)
+    kf_gt = gt_t[kf_frame]
+
+    loops = sys_.loops            # [(cur_kf, loop_kf, fitness)]
+    correct = []
+    for (i, j, fit) in loops:
+        if i < n_kf and j < n_kf:
+            d = float(np.linalg.norm(kf_gt[i] - kf_gt[j]))
+            correct.append(d < GT_NEAR_M)
+        else:
+            correct.append(False)
+    n_acc = len(loops)
+    n_corr = int(sum(correct))
+
+    # opportunities: keyframe j with a gap-older keyframe within GT_NEAR_M
+    gap = lc.min_loop_search_gap
+    opp = np.zeros(n_kf, bool)
+    for j in range(n_kf):
+        if j <= gap:
+            continue
+        d = np.linalg.norm(kf_gt[: j - gap] - kf_gt[j], axis=-1)
+        opp[j] = bool((d < GT_NEAR_M).any())
+    # coverage: a correct accepted loop within the trailing cooldown window
+    cov = np.zeros(n_kf, bool)
+    for (i, j, fit), ok in zip(loops, correct):
+        if ok:
+            cov[max(0, i - lc.loop_cooldown_kf): i + 1] = True
+    n_opp = int(opp.sum())
+    n_cov = int((opp & cov).sum())
+
+    err_live = np.linalg.norm(live_t - gt_t[: len(live_t)], axis=-1)
+    traj = sys_.trajectory()
+    err_corr = np.linalg.norm(traj - gt_t[: len(traj)], axis=-1)
+    return {
+        "keyframes": n_kf,
+        "accepted_loops": n_acc,
+        "correct_loops": n_corr,
+        "precision": (n_corr / n_acc) if n_acc else None,
+        "opportunity_keyframes": n_opp,
+        "covered_opportunities": n_cov,
+        "recall": (n_cov / n_opp) if n_opp else None,
+        "ate_live_m": float(np.sqrt(np.mean(err_live ** 2))),
+        "max_live_err_m": float(err_live.max()),
+        "ate_corrected_m": float(np.sqrt(np.mean(err_corr ** 2))),
+        "end_err_m": float(err_corr[-1]),
+    }
+
+
+def run_one(cfg: config.SlamConfig, xyz, inten, gt_t, seed: int,
+            frames: int) -> dict:
+    sys_ = SlamSystem(cfg, seed=seed)
+    live = []
+    t0 = time.perf_counter()
+    for k in range(frames):
+        info = sys_.process(xyz[k], inten[k], SCAN_DT * k)
+        live.append(info.pose_t)
+    live_t = np.asarray(jnp.stack(live))    # one device fetch
+    dt = time.perf_counter() - t0
+    res = _evaluate(sys_, gt_t, live_t, cfg)
+    res["scans_per_sec"] = round(frames / dt, 1)
+    res["seed"] = seed
+    return res
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--worlds", type=str, default="circuit,figure8,aliased")
+    ap.add_argument("--channels", type=str, default="sc,bow,radius,all")
+    ap.add_argument("--frames", type=int, default=560)
+    ap.add_argument("--out", type=str, default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "RESULTS_loops.json"))
+    args = ap.parse_args()
+    base_cfg = config.SlamConfig()
+
+    results = {"frames": args.frames, "seeds": args.seeds,
+               "gt_near_m": GT_NEAR_M, "noise": "DEFAULT_NOISE",
+               "worlds": {}}
+    for wname in args.worlds.split(","):
+        frames = args.frames if wname != "aliased" else 400
+        results["worlds"][wname] = {"frames": frames, "channels": {}}
+        all_runs = {ch: [] for ch in args.channels.split(",")}
+        for seed in range(args.seeds):
+            # render once per (world, seed); every channel replays it
+            world, poses = _world(wname, frames)
+            xyz, inten = _render(world, poses, base_cfg, seed, frames,
+                                 world_name=wname)
+            p0 = se3.Pose(poses.q[0], poses.t[0])
+            gt_t = np.asarray(jax.vmap(
+                lambda q, t: se3.compose(se3.inverse(p0), se3.Pose(q, t)).t
+            )(poses.q, poses.t))
+            for ch in args.channels.split(","):
+                cfg = _channel_cfg(base_cfg, ch)
+                r = run_one(cfg, xyz, inten, gt_t, seed, frames)
+                all_runs[ch].append(r)
+                print(f"[{wname}/{ch}/seed{seed}] acc={r['accepted_loops']}"
+                      f" corr={r['correct_loops']} prec={r['precision']}"
+                      f" rec={r['recall']} ate_corr={r['ate_corrected_m']:.3f}"
+                      f" ate_live={r['ate_live_m']:.3f}"
+                      f" max_live={r['max_live_err_m']:.2f}"
+                      f" ({r['scans_per_sec']} sc/s)", flush=True)
+        for ch in args.channels.split(","):
+            runs = all_runs[ch]
+            agg = {}
+            for key in ("precision", "recall", "ate_corrected_m",
+                        "ate_live_m", "max_live_err_m"):
+                vals = [r[key] for r in runs if r[key] is not None]
+                agg[key] = {
+                    "mean": round(float(np.mean(vals)), 4) if vals else None,
+                    "max": round(float(np.max(vals)), 4) if vals else None,
+                }
+            agg["accepted_loops_total"] = sum(
+                r["accepted_loops"] for r in runs)
+            agg["correct_loops_total"] = sum(
+                r["correct_loops"] for r in runs)
+            results["worlds"][wname]["channels"][ch] = {
+                "aggregate": agg, "runs": runs}
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"results -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
