@@ -9,8 +9,14 @@ showed the handful of tiny convs costing ~15 ms/frame, a third of the step.
 A 1-D correlation along an axis is exactly a banded (circulant, for wrapped
 azimuth) matrix product, so a separable filter is `A_rows @ img @ A_cols^T`
 — two dense matmuls of (H,H)x(H,W) and (H,W)x(W,W) that the MXU eats in
-tens of microseconds.  The banded matrices are built once per (size, kernel,
-padding mode) at trace time and cached as module constants.
+tens of microseconds.
+
+The banded matrices are constructed IN-GRAPH from iotas (k compares + adds
+per matrix) rather than baked in as dense literals: a (1024, 1024) f32
+constant per distinct (kernel, mode) put ~34 MB of literals into the fused
+program's StableHLO and dominated its cold-compile time; the iota build is
+a few lines of HLO, XLA CSEs identical builds within a program, and the
+materialization itself is one fused (n, n) elementwise pass (~µs).
 
 Boundary semantics match the previous pad-based implementation: rows
 (elevation) edge-clamp, columns (azimuth) wrap.
@@ -18,22 +24,22 @@ Boundary semantics match the previous pad-based implementation: rows
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax.numpy as jnp
 import numpy as np
 
 
-@lru_cache(maxsize=None)
-def _band_matrix(n: int, kernel: tuple[float, ...], mode: str) -> np.ndarray:
-    """(n, n) matrix A with (A x)[i] = sum_d kernel[d+r] * x[clamp/wrap(i+d)]."""
+def _band_matrix(n: int, kernel: tuple[float, ...], mode: str) -> jnp.ndarray:
+    """(n, n) matrix A with (A x)[i] = sum_d kernel[d+r] * x[clamp/wrap(i+d)],
+    built from iotas so no (n, n) literal enters the program."""
     r = len(kernel) // 2
-    a = np.zeros((n, n), np.float32)
-    for i in range(n):
-        for d, kv in zip(range(-r, r + 1), kernel):
-            j = i + d
-            j = (j % n) if mode == "wrap" else min(max(j, 0), n - 1)
-            a[i, j] += kv
+    i = jnp.arange(n, dtype=jnp.int32)[:, None]
+    j = jnp.arange(n, dtype=jnp.int32)[None, :]
+    a = jnp.zeros((n, n), jnp.float32)
+    for d, kv in zip(range(-r, r + 1), kernel):
+        if kv == 0.0:
+            continue
+        tgt = (i + d) % n if mode == "wrap" else jnp.clip(i + d, 0, n - 1)
+        a = a + jnp.float32(kv) * (j == tgt)
     return a
 
 
@@ -44,7 +50,7 @@ def _as_tuple(kernel) -> tuple[float, ...]:
 def filter_rows(img: jnp.ndarray, kernel, mode: str = "edge") -> jnp.ndarray:
     """Correlate along axis -2 (image rows / elevation). img: (..., H, W)."""
     H = img.shape[-2]
-    a = jnp.asarray(_band_matrix(H, _as_tuple(kernel), mode))
+    a = _band_matrix(H, _as_tuple(kernel), mode)
     return jnp.einsum("ij,...jw->...iw", a, img,
                       preferred_element_type=jnp.float32)
 
@@ -52,7 +58,7 @@ def filter_rows(img: jnp.ndarray, kernel, mode: str = "edge") -> jnp.ndarray:
 def filter_cols(img: jnp.ndarray, kernel, mode: str = "wrap") -> jnp.ndarray:
     """Correlate along axis -1 (image columns / azimuth). img: (..., H, W)."""
     W = img.shape[-1]
-    a = jnp.asarray(_band_matrix(W, _as_tuple(kernel), mode))
+    a = _band_matrix(W, _as_tuple(kernel), mode)
     return jnp.einsum("...hw,vw->...hv", img, a,
                       preferred_element_type=jnp.float32)
 

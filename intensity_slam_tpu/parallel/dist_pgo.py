@@ -136,8 +136,38 @@ def optimize_shmap(
             # THE collective: one all-reduce of the loop normal equations
             Hl = jax.lax.psum(Mf.T @ Mf, axis)
             bl = jax.lax.psum(Mf.T @ r_loop.reshape(-1), axis)
-            new_poses = posegraph._dense_update(
-                poses, node_valid, odo_ok, rel_est, r_odo, J_odo, Hl, bl)
+
+            # damping-ladder step control, mirroring posegraph.optimize
+            # exactly (see the step-control comment there): the loop-cost
+            # term of each candidate is a sharded partial sum, psum'd — a
+            # scalar collective per candidate per iteration.
+            cost_old = (jnp.sum(r_odo * r_odo)
+                        + jax.lax.psum(jnp.sum(r_loop * r_loop), axis))
+            cands = [
+                posegraph._dense_update(poses, node_valid, odo_ok, rel_est,
+                                        r_odo, J_odo, Hl, bl, lam)
+                for lam in posegraph._LM_LAMBDAS
+            ]
+
+            def cand_cost(cand):
+                Tprev_c = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0),
+                                       cand)
+                rel_c = se3.compose(se3.inverse(Tprev_c), cand)
+                r_o = (osi * odo_ok[:, None]) * se3.se3_log(
+                    se3.compose(se3.inverse(Pose(oq, ot)), rel_c))
+                Tci = jax.tree.map(lambda a: a[li], cand)
+                Tcj = jax.tree.map(lambda a: a[lj], cand)
+                rel_cl = se3.compose(se3.inverse(Tci), Tcj)
+                r_cl = lsi_eff * se3.se3_log(
+                    se3.compose(se3.inverse(Pose(lq, lt)), rel_cl))
+                return (jnp.sum(r_o * r_o)
+                        + jax.lax.psum(jnp.sum(r_cl * r_cl), axis))
+
+            costs = jnp.stack([cost_old] + [cand_cost(c) for c in cands])
+            best = jnp.argmin(costs)
+            stacked = jax.tree.map(
+                lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)
+            new_poses = jax.tree.map(lambda a: a[best], stacked)
             return new_poses, None
 
         poses, _ = jax.lax.scan(

@@ -413,7 +413,7 @@ def optimize(
             loop_si = base_loop_si
         loop_si = loop_si * g.loop_valid[:, None]
 
-        # ---- DENSE GN step in RELATIVE coordinates -------------------------
+        # ---- DENSE damped-GN step in RELATIVE coordinates ------------------
         # Unknowns are per-edge increments delta_k (rel_k' = rel_est_k o
         # Exp(delta_k)); node 0 is the gauge and stays fixed.  In these
         # coordinates the odometry chain contributes a BLOCK-DIAGONAL
@@ -438,22 +438,78 @@ def optimize(
         Mf = M.transpose(0, 2, 1, 3).reshape(E * 6, K * 6)
         Hl = Mf.T @ Mf                                     # MXU matmul
         bl = Mf.T @ r_loop.reshape(-1)
-        new_poses = _dense_update(
-            poses, g.node_valid, odo_ok, rel_est, r_odo, J_odo, Hl, bl)
-        cost = jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
-        return new_poses, cost
+
+        # Levenberg-style step control (soak r4 post-mortem): an UNDAMPED
+        # full GN step on this nonlinear problem can overshoot when several
+        # mutually inconsistent large-residual loop edges coexist — one bad
+        # step bends chain rotations past pi, where se3_log wraps and the
+        # iterate is stranded in a twisted configuration hundreds of meters
+        # out (observed |t| 85 m -> 734 m -> 1e12 -> NaN over successive
+        # solves).  Fix: per iteration, solve the damped system for a small
+        # LADDER of relative dampings, evaluate the true (frozen-weight)
+        # cost of each candidate, and keep the argmin INCLUDING the
+        # no-move option — the iteration cost is monotone non-increasing
+        # by construction, so the solve can stall but never diverge.
+        cost_old = jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
+        cands = [
+            _dense_update(poses, g.node_valid, odo_ok, rel_est, r_odo,
+                          J_odo, Hl, bl, lam)
+            for lam in _LM_LAMBDAS
+        ]
+        costs = jnp.stack([cost_old] + [
+            _frozen_cost(cand, g.odo_rel, odo_si * odo_ok[:, None],
+                         g.loop_i, g.loop_j, g.loop_rel, loop_si)
+            for cand in cands
+        ])
+        best = jnp.argmin(costs)
+        stacked = jax.tree.map(
+            lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)
+        new_poses = jax.tree.map(lambda a: a[best], stacked)
+        return new_poses, costs[best]
 
     poses, costs = jax.lax.scan(gn_step, g.poses, None, length=gn_iters)
     return g._replace(poses=poses)
 
 
+# Relative (Jacobi-normalized diagonal) damping ladder tried each GN
+# iteration: near-exact GN, a mildly damped step, and a strongly damped
+# near-gradient step.  See the step-control comment in `optimize`.
+_LM_LAMBDAS = (1e-6, 3e-3, 1e-1)
+
+# Per-edge trust region on the relative increment: legitimate corrections
+# distribute a loop residual over the whole chain (drift-sized per edge),
+# so these bounds never bind a genuine step — they only stop a single
+# pathological iterate from wrapping a relative rotation past pi.
+_STEP_ROT_MAX = 0.5    # rad per edge per iteration
+_STEP_TRANS_MAX = 5.0  # m per edge per iteration
+
+
+def _frozen_cost(poses: Pose, odo_rel: Pose, odo_si_eff,
+                 loop_i, loop_j, loop_rel: Pose, loop_si) -> jax.Array:
+    """Sum of squared whitened residuals at `poses` with the information
+    (incl. IRLS weights) FROZEN — the LM acceptance metric.  `odo_si_eff`
+    must already include the odo_ok mask; `loop_si` the loop_valid mask."""
+    Tprev = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0), poses)
+    rel_est = se3.compose(se3.inverse(Tprev), poses)
+    r_odo = odo_si_eff * se3.se3_log(
+        se3.compose(se3.inverse(odo_rel), rel_est))
+    Tli = jax.tree.map(lambda a: a[loop_i], poses)
+    Tlj = jax.tree.map(lambda a: a[loop_j], poses)
+    rel_l = se3.compose(se3.inverse(Tli), Tlj)
+    r_loop = loop_si * se3.se3_log(
+        se3.compose(se3.inverse(loop_rel), rel_l))
+    return jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
+
+
 def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
-                  r_odo, J_odo, Hl, bl) -> Pose:
-    """Dense Cholesky GN update given the loop normal-equation contribution
-    (Hl (6K, 6K), bl (6K,)) and the per-edge odometry residuals/Jacobians.
-    Shared by the batched and the shard_map solvers (the sharded one psums
-    Hl/bl across shards first — ONE all-reduce of the normal equations per
-    GN iteration)."""
+                  r_odo, J_odo, Hl, bl, lam: float = 1e-6) -> Pose:
+    """Dense Cholesky damped-GN update given the loop normal-equation
+    contribution (Hl (6K, 6K), bl (6K,)) and the per-edge odometry
+    residuals/Jacobians.  `lam` is the Levenberg damping added to the
+    Jacobi-NORMALIZED diagonal (so it is relative: 1e-6 ~ pure GN, 1e-1 ~
+    heavily damped).  Shared by the batched and the shard_map solvers (the
+    sharded one psums Hl/bl across shards first — ONE all-reduce of the
+    normal equations per GN iteration)."""
     K = poses.t.shape[0]
     idx_n = jnp.arange(K)
     D = jnp.einsum("kra,krb->kab", J_odo, J_odo)       # (K, 6, 6)
@@ -474,10 +530,18 @@ def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
     Hm = H.reshape(K * 6, K * 6)
     dg = jnp.sqrt(jnp.clip(jnp.diagonal(Hm), 1e-12, None))
     Hn = Hm / dg[:, None] / dg[None, :]
-    Hn = Hn + 1e-6 * jnp.eye(K * 6)
+    Hn = Hn + lam * jnp.eye(K * 6)
     cf = jax.scipy.linalg.cho_factor(Hn)
     y = jax.scipy.linalg.cho_solve(cf, -(b.reshape(-1) / dg))
     dx = (y / dg).reshape(K, 6)
+
+    # per-edge trust region (see _STEP_ROT_MAX): scale down any relative
+    # increment whose rotation/translation part exceeds the bound
+    rn = jnp.linalg.norm(dx[:, :3], axis=-1, keepdims=True)
+    tn = jnp.linalg.norm(dx[:, 3:], axis=-1, keepdims=True)
+    rot = dx[:, :3] * jnp.minimum(1.0, _STEP_ROT_MAX / jnp.maximum(rn, 1e-12))
+    tr = dx[:, 3:] * jnp.minimum(1.0, _STEP_TRANS_MAX / jnp.maximum(tn, 1e-12))
+    dx = jnp.concatenate([rot, tr], axis=-1)
 
     # rebuild poses: prefix-compose the updated relative chain in O(log K)
     # with an associative scan

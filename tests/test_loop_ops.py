@@ -235,3 +235,46 @@ def test_posegraph_odo_edges_raw_after_optimize():
     # (~9.0 m), not from the raw 9.45 m
     assert abs(float(g.poses.t[12, 0]) - (9.0 + 3 * 1.05)) < 0.1, (
         float(g.poses.t[12, 0]))
+
+
+def test_posegraph_bounded_under_gross_inconsistent_loops():
+    """Regression (r4 soak post-mortem): several mutually inconsistent
+    high-information loop edges whose residuals dwarf the drift envelope
+    must never blow the solve up.
+
+    The undamped full GN step overshot on exactly this configuration —
+    one step bent chain rotations past pi (where se3_log wraps), the
+    iterate teleported hundreds of meters out, and successive solves
+    compounded to 1e12 and NaN (reproduced from the 9000-frame soak).
+    With the damping-ladder step control the iteration cost is monotone
+    non-increasing, so the poses stay bounded no matter how bad the
+    edges are."""
+    rng = np.random.default_rng(7)
+    g = posegraph.empty(64, 16)
+    pose = se3.Pose.identity()
+    for k in range(48):
+        if k > 0:
+            # long, curving odometry steps (5-20 m) like the drifted repro
+            step = se3.Pose(
+                se3.so3_exp(jnp.asarray([0.0, 0.0, rng.uniform(-0.3, 0.3)],
+                                        jnp.float32)),
+                jnp.asarray([rng.uniform(5.0, 20.0), 0.0, 0.0], jnp.float32))
+            pose = se3.compose(pose, step)
+        g = posegraph.add_node(g, pose)
+    # four near-identity loop measurements between far-apart estimates:
+    # 60-90 m residuals, one with near-perfect "fitness" (sqrt_info ~ 77)
+    for (i, j, fit) in [(16, 1, 0.18), (19, 3, 0.42), (22, 4, 1.7e-4),
+                        (35, 8, 0.3)]:
+        rel = se3.Pose(jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                       jnp.asarray([2.0, -0.5, 0.3], jnp.float32))
+        g = posegraph.add_loop(g, jnp.int32(i), jnp.int32(j), rel,
+                               jnp.float32(fit), config.LoopConfig())
+    before = float(jnp.max(jnp.linalg.norm(g.poses.t, axis=-1)))
+    out = posegraph.optimize(g, gn_iters=6, cg_iters=64)
+    tt = np.asarray(out.poses.t[:48])
+    assert np.isfinite(tt).all()
+    after = float(np.linalg.norm(tt, axis=-1).max())
+    # bounded: the solve may deform the chain toward the loops, but a
+    # sane solution lives within ~2x the original extent (the old solver
+    # returned 5-10x and then diverged without bound)
+    assert after < 2.0 * before, (before, after)

@@ -70,8 +70,8 @@ def _graph(K: int, E: int, seed: int = 0) -> posegraph.PoseGraph:
         Ti = jax.tree.map(lambda a: a[i], g.poses)
         Tj = jax.tree.map(lambda a: a[j], g.poses)
         rel = se3.compose(se3.inverse(Ti), Tj)
-        g = posegraph.add_loop(g, i, j, rel, jnp.float32(0.05),
-                               config.SlamConfig().loop)
+        g = posegraph.add_loop(g, jnp.int32(i), jnp.int32(j), rel,
+                               jnp.float32(0.05), config.SlamConfig().loop)
     return g
 
 
