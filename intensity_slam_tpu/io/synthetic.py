@@ -89,11 +89,13 @@ def corridor_world() -> World:
     )
 
 
-def _ray_dirs(cfg: SensorConfig, fov_up=16.6, fov_down=-16.6) -> jax.Array:
+def _ray_dirs(cfg: SensorConfig) -> jax.Array:
     """(H, W, 3) unit ray directions in sensor frame; row 0 = top ring,
-    column azimuth spans [-pi, pi) matching an Ouster organized cloud."""
+    column azimuth spans [-pi, pi) matching an Ouster organized cloud.
+    Vertical extent comes from cfg.fov_up/fov_down (OS0-64-exact = +-45,
+    `config.os0_64_config`)."""
     H, W = cfg.image_height, cfg.image_width
-    elev = jnp.deg2rad(jnp.linspace(fov_up, fov_down, H))
+    elev = jnp.deg2rad(jnp.linspace(cfg.fov_up, cfg.fov_down, H))
     azim = jnp.linspace(-jnp.pi, jnp.pi, W, endpoint=False)
     ce, se_ = jnp.cos(elev)[:, None], jnp.sin(elev)[:, None]
     ca, sa = jnp.cos(azim)[None, :], jnp.sin(azim)[None, :]

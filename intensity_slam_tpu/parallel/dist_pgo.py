@@ -164,6 +164,9 @@ def optimize_shmap(
                         + jax.lax.psum(jnp.sum(r_cl * r_cl), axis))
 
             costs = jnp.stack([cost_old] + [cand_cost(c) for c in cands])
+            # NaN candidates (failed Cholesky) must not win the argmin —
+            # see the matching guard in posegraph.optimize
+            costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
             best = jnp.argmin(costs)
             stacked = jax.tree.map(
                 lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)

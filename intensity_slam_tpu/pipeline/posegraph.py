@@ -461,6 +461,13 @@ def optimize(
                          g.loop_i, g.loop_j, g.loop_rel, loop_si)
             for cand in cands
         ])
+        # a failed Cholesky (ill-conditioned damped system) yields a NaN
+        # candidate, and argmin follows NumPy NaN semantics — it would
+        # SELECT the NaN entry.  Mapping non-finite costs to +inf keeps the
+        # finite no-move option winning, so poses stay finite by induction
+        # (observed in the r4 soak: one NaN solve poisoned every keyframe
+        # correction and the whole exported trajectory).
+        costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         best = jnp.argmin(costs)
         stacked = jax.tree.map(
             lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)

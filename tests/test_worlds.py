@@ -81,3 +81,26 @@ def test_aliased_trajectory_out_and_back():
     assert t[:, 0].max() > 70
     # returns toward the start
     assert t[-1, 0] < t[:, 0].max() - 20
+
+
+def test_os0_64_beam_table():
+    """The OS0-64 preset renders with the demo sensor's exact +-45 deg
+    vertical FOV (`/root/reference/README.md:153`); the default stays at
+    the +-16.6 table rounds 1-3 benchmarked with."""
+    import numpy as np
+
+    from intensity_slam_tpu import config as cfg_mod
+    from intensity_slam_tpu.io.synthetic import _ray_dirs
+
+    os0 = cfg_mod.os0_64_config().sensor
+    d = np.asarray(_ray_dirs(os0))
+    # top ring at +45 deg elevation, bottom at -45
+    np.testing.assert_allclose(d[0, :, 2], np.sin(np.deg2rad(45.0)),
+                               atol=1e-5)
+    np.testing.assert_allclose(d[-1, :, 2], -np.sin(np.deg2rad(45.0)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+    dflt = cfg_mod.SlamConfig().sensor
+    d2 = np.asarray(_ray_dirs(dflt))
+    np.testing.assert_allclose(d2[0, :, 2], np.sin(np.deg2rad(16.6)),
+                               atol=1e-5)

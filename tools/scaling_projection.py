@@ -82,11 +82,12 @@ def _time_solve(g, lc, gn_iters, n=10) -> float:
         loop_cauchy_c=lc.loop_cauchy_c, drift_rate=lc.loop_drift_rate,
         drift_rot_rate=lc.loop_drift_rot_rate))
     out = fn(g)
-    jax.block_until_ready(out.poses.t)
+    np.asarray(out.poses.t)      # force a real device->host fetch (the
+    # remote transport's block_until_ready can return before execution)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(g)
-    jax.block_until_ready(out.poses.t)
+        np.asarray(out.poses.t[-1])   # per-call sync: honest wall time
     return (time.perf_counter() - t0) / n
 
 

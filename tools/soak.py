@@ -98,6 +98,12 @@ def main() -> int:
 
     traj = sys_.trajectory()                 # spill + live window
     n = len(traj)
+    bad = ~np.isfinite(traj).all(axis=-1)
+    if bad.any():
+        idx = np.where(bad)[0]
+        print(f"NONFINITE trajectory rows: {int(bad.sum())} "
+              f"(first {idx[0]}, last {idx[-1]}; spilled frames "
+              f"cover [0, {sys_._spiller.spilled}))")
     err = np.linalg.norm(traj - gt_t[:n], axis=-1)
     rates = [c["scans_per_sec"] for c in chunk_stats]
     res = {
