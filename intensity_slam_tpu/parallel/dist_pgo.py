@@ -143,11 +143,9 @@ def optimize_shmap(
             # scalar collective per candidate per iteration.
             cost_old = (jnp.sum(r_odo * r_odo)
                         + jax.lax.psum(jnp.sum(r_loop * r_loop), axis))
-            cands = [
-                posegraph._dense_update(poses, node_valid, odo_ok, rel_est,
-                                        r_odo, J_odo, Hl, bl, lam)
-                for lam in posegraph._LM_LAMBDAS
-            ]
+            cands = posegraph._dense_update_multi(
+                poses, node_valid, odo_ok, rel_est, r_odo, J_odo, Hl, bl,
+                posegraph._LM_LAMBDAS)
 
             def cand_cost(cand):
                 Tprev_c = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0),
@@ -160,16 +158,20 @@ def optimize_shmap(
                 rel_cl = se3.compose(se3.inverse(Tci), Tcj)
                 r_cl = lsi_eff * se3.se3_log(
                     se3.compose(se3.inverse(Pose(lq, lt)), rel_cl))
-                return (jnp.sum(r_o * r_o)
-                        + jax.lax.psum(jnp.sum(r_cl * r_cl), axis))
+                # psum'd OUTSIDE the vmap (vmapping a psum changes its
+                # shape contract): local term here, reduce after
+                return jnp.sum(r_o * r_o), jnp.sum(r_cl * r_cl)
 
-            costs = jnp.stack([cost_old] + [cand_cost(c) for c in cands])
+            odo_c, loop_c = jax.vmap(cand_cost)(cands)
+            cand_costs = odo_c + jax.lax.psum(loop_c, axis)
+            costs = jnp.concatenate([cost_old[None], cand_costs])
             # NaN candidates (failed Cholesky) must not win the argmin —
             # see the matching guard in posegraph.optimize
             costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
             best = jnp.argmin(costs)
             stacked = jax.tree.map(
-                lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)
+                lambda old, cs: jnp.concatenate([old[None], cs]),
+                poses, cands)
             new_poses = jax.tree.map(lambda a: a[best], stacked)
             return new_poses, None
 

@@ -451,16 +451,13 @@ def optimize(
         # no-move option — the iteration cost is monotone non-increasing
         # by construction, so the solve can stall but never diverge.
         cost_old = jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
-        cands = [
-            _dense_update(poses, g.node_valid, odo_ok, rel_est, r_odo,
-                          J_odo, Hl, bl, lam)
-            for lam in _LM_LAMBDAS
-        ]
-        costs = jnp.stack([cost_old] + [
-            _frozen_cost(cand, g.odo_rel, odo_si * odo_ok[:, None],
-                         g.loop_i, g.loop_j, g.loop_rel, loop_si)
-            for cand in cands
-        ])
+        cands = _dense_update_multi(poses, g.node_valid, odo_ok, rel_est,
+                                    r_odo, J_odo, Hl, bl, _LM_LAMBDAS)
+        cand_costs = jax.vmap(
+            lambda cand: _frozen_cost(
+                cand, g.odo_rel, odo_si * odo_ok[:, None],
+                g.loop_i, g.loop_j, g.loop_rel, loop_si))(cands)
+        costs = jnp.concatenate([cost_old[None], cand_costs])
         # a failed Cholesky (ill-conditioned damped system) yields a NaN
         # candidate, and argmin follows NumPy NaN semantics — it would
         # SELECT the NaN entry.  Mapping non-finite costs to +inf keeps the
@@ -470,7 +467,7 @@ def optimize(
         costs = jnp.where(jnp.isfinite(costs), costs, jnp.inf)
         best = jnp.argmin(costs)
         stacked = jax.tree.map(
-            lambda old, *cs: jnp.stack([old, *cs]), poses, *cands)
+            lambda old, cs: jnp.concatenate([old[None], cs]), poses, cands)
         new_poses = jax.tree.map(lambda a: a[best], stacked)
         return new_poses, costs[best]
 
@@ -508,13 +505,18 @@ def _frozen_cost(poses: Pose, odo_rel: Pose, odo_si_eff,
     return jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
 
 
-def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
-                  r_odo, J_odo, Hl, bl, lam: float = 1e-6) -> Pose:
+def _dense_update_multi(poses: Pose, node_valid, odo_ok, rel_est: Pose,
+                        r_odo, J_odo, Hl, bl, lams) -> Pose:
     """Dense Cholesky damped-GN update given the loop normal-equation
     contribution (Hl (6K, 6K), bl (6K,)) and the per-edge odometry
-    residuals/Jacobians.  `lam` is the Levenberg damping added to the
-    Jacobi-NORMALIZED diagonal (so it is relative: 1e-6 ~ pure GN, 1e-1 ~
-    heavily damped).  Shared by the batched and the shard_map solvers (the
+    residuals/Jacobians, for a BATCH of dampings at once.  `lams` (B,) are
+    Levenberg dampings added to the Jacobi-NORMALIZED diagonal (relative:
+    1e-6 ~ pure GN, 1e-1 ~ heavily damped); the normal equations are
+    assembled ONCE and the per-damping solve + trust-region clamp + pose
+    rebuild are vmapped — one batched Cholesky and one batched
+    associative scan in the program instead of B copies (the unbatched
+    ladder tripled the fused program's compile time).  Returns a Pose with
+    leading axis B.  Shared by the batched and the shard_map solvers (the
     sharded one psums Hl/bl across shards first — ONE all-reduce of the
     normal equations per GN iteration)."""
     K = poses.t.shape[0]
@@ -533,41 +535,54 @@ def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
         jnp.eye(6)[None] * (1.0 - free)[:, None, None])
     b = b * free[:, None]
 
-    # Jacobi-normalized fp32 Cholesky
+    # Jacobi-normalized fp32 system, assembled once for every damping
     Hm = H.reshape(K * 6, K * 6)
     dg = jnp.sqrt(jnp.clip(jnp.diagonal(Hm), 1e-12, None))
     Hn = Hm / dg[:, None] / dg[None, :]
-    Hn = Hn + lam * jnp.eye(K * 6)
-    cf = jax.scipy.linalg.cho_factor(Hn)
-    y = jax.scipy.linalg.cho_solve(cf, -(b.reshape(-1) / dg))
-    dx = (y / dg).reshape(K, 6)
+    rhs = -(b.reshape(-1) / dg)
+    eye = jnp.eye(K * 6)
+    p0 = jax.tree.map(lambda a: a[0], poses)
+    ident_seq = Pose(jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (K, 4)),
+                     jnp.zeros((K, 3)))
 
-    # per-edge trust region (see _STEP_ROT_MAX): scale down any relative
-    # increment whose rotation/translation part exceeds the bound
-    rn = jnp.linalg.norm(dx[:, :3], axis=-1, keepdims=True)
-    tn = jnp.linalg.norm(dx[:, 3:], axis=-1, keepdims=True)
-    rot = dx[:, :3] * jnp.minimum(1.0, _STEP_ROT_MAX / jnp.maximum(rn, 1e-12))
-    tr = dx[:, 3:] * jnp.minimum(1.0, _STEP_TRANS_MAX / jnp.maximum(tn, 1e-12))
-    dx = jnp.concatenate([rot, tr], axis=-1)
+    def solve_one(lam):
+        cf = jax.scipy.linalg.cho_factor(Hn + lam * eye)
+        y = jax.scipy.linalg.cho_solve(cf, rhs)
+        dx = (y / dg).reshape(K, 6)
 
-    # rebuild poses: prefix-compose the updated relative chain in O(log K)
-    # with an associative scan
-    upd = Pose(se3.so3_exp(dx[:, :3]), dx[:, 3:])
-    new_rel = se3.compose(rel_est, upd)
-    seq = jax.tree.map(
-        lambda nr, ident: jnp.where(odo_ok[:, None], nr, ident),
-        new_rel,
-        Pose(jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (K, 4)),
-             jnp.zeros((K, 3))),
-    )
-    # slot 0 carries node 0's (fixed) pose so the prefix products ARE the
-    # absolute poses
-    seq = jax.tree.map(
-        lambda s, p0: s.at[0].set(p0),
-        seq, jax.tree.map(lambda a: a[0], poses),
-    )
-    T = jax.lax.associative_scan(se3.compose, seq)
-    new_poses = Pose(se3.quat_normalize(T.q), T.t)
-    return jax.tree.map(
-        lambda n, o: jnp.where(node_valid[:, None], n, o), new_poses, poses,
-    )
+        # per-edge trust region (see _STEP_ROT_MAX): scale down any
+        # relative increment whose rotation/translation part exceeds it
+        rn = jnp.linalg.norm(dx[:, :3], axis=-1, keepdims=True)
+        tn = jnp.linalg.norm(dx[:, 3:], axis=-1, keepdims=True)
+        rot = dx[:, :3] * jnp.minimum(
+            1.0, _STEP_ROT_MAX / jnp.maximum(rn, 1e-12))
+        tr = dx[:, 3:] * jnp.minimum(
+            1.0, _STEP_TRANS_MAX / jnp.maximum(tn, 1e-12))
+
+        # rebuild poses: prefix-compose the updated relative chain in
+        # O(log K) with an associative scan
+        upd = Pose(se3.so3_exp(rot), tr)
+        new_rel = se3.compose(rel_est, upd)
+        seq = jax.tree.map(
+            lambda nr, ident: jnp.where(odo_ok[:, None], nr, ident),
+            new_rel, ident_seq,
+        )
+        # slot 0 carries node 0's (fixed) pose so the prefix products ARE
+        # the absolute poses
+        seq = jax.tree.map(lambda s, v: s.at[0].set(v), seq, p0)
+        T = jax.lax.associative_scan(se3.compose, seq)
+        new_poses = Pose(se3.quat_normalize(T.q), T.t)
+        return jax.tree.map(
+            lambda n, o: jnp.where(node_valid[:, None], n, o),
+            new_poses, poses,
+        )
+
+    return jax.vmap(solve_one)(jnp.asarray(lams, jnp.float32))
+
+
+def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
+                  r_odo, J_odo, Hl, bl, lam: float = 1e-6) -> Pose:
+    """Single-damping wrapper over `_dense_update_multi`."""
+    out = _dense_update_multi(poses, node_valid, odo_ok, rel_est, r_odo,
+                              J_odo, Hl, bl, jnp.asarray([lam]))
+    return jax.tree.map(lambda a: a[0], out)
