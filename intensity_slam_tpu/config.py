@@ -166,6 +166,23 @@ class MappingConfig:
     # (roll, pitch, yaw, x, y, z): weak where the ground map observes
     # strongly (roll/pitch/z), strong where it observes nothing (x/y/yaw)
     prior_sqrt_info: tuple = (5.0, 5.0, 100.0, 50.0, 50.0, 2.0)
+    # corner point-to-line residuals (r5): the reference's ACTIVE core is
+    # ground-plane only (`mapOptimization.cpp:364-430`) — its corner
+    # ikd-tree is fed but never used in residuals (`:478-479,504-505`), so
+    # x/y/yaw drift passes through scan-to-map uncorrected.  Its own unused
+    # laserMapping node (C15, `laserMapping.cpp:665-723`) shows the fix:
+    # each corner point takes its 5 map NNs, the neighborhood covariance is
+    # eigen-checked for line-ness, and a point-to-line factor constrains
+    # the pose.  Measured on the OS0-64 circuit this cuts live mapping ATE
+    # ~10x (the ±45 beam table amplifies per-frame odometry noise; see
+    # RESULTS_os064.json r5).  When enough line fits exist the x/y/yaw
+    # prior drops to `prior_sqrt_info_corner` so the map can override the
+    # odometry prediction in the directions it now observes.
+    use_corner_residuals: bool = True
+    corner_eig_ratio: float = 3.0     # lambda_max > ratio * lambda_mid, laserMapping.cpp:693
+    corner_sqrt_info: float = 5.0     # per-axis sqrt-info of a line factor (sigma 0.2 m)
+    min_corner_residuals: int = 32    # below this the strong prior stays
+    prior_sqrt_info_corner: tuple = (5.0, 5.0, 5.0, 5.0, 5.0, 2.0)
     # on an accepted loop closure, rebuild the ground/corner maps from the
     # per-keyframe downsampled clouds at the OPTIMIZED graph poses (one
     # batched transform + scatter pass).  The reference never corrects its

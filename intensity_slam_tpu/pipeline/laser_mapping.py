@@ -44,6 +44,7 @@ from ..ops.curvature import FeatureClouds
 from ..ops.voxel import voxel_downsample
 from ..utils import se3
 from ..utils.se3 import Pose
+from .mapping import fit_lines as _fit_lines
 from .mapping import _fit_planes
 
 
@@ -80,27 +81,6 @@ def init_state(cfg: SlamConfig) -> LaserMappingState:
         initialized=jnp.asarray(False),
         frame_idx=jnp.asarray(0, jnp.int32),
     )
-
-
-def _fit_lines(neigh: jax.Array, nvalid: jax.Array, eig_ratio: float = 3.0):
-    """Batched corner line fit (`laserMapping.cpp:665-723`).
-
-    neigh (Q, k, 3), nvalid (Q, k).  Returns line endpoints a/b (Q, 3) and a
-    validity flag: all k neighbors present and lambda_max > eig_ratio *
-    lambda_mid of the neighborhood covariance.
-    """
-    k = neigh.shape[1]
-    center = jnp.mean(neigh, axis=1)                       # (Q, 3)
-    d = neigh - center[:, None, :]
-    cov = jnp.einsum("qki,qkj->qij", d, d) / k             # (Q, 3, 3)
-    # eigh on batched symmetric 3x3; ascending eigenvalues
-    evals, evecs = jnp.linalg.eigh(cov)
-    is_line = evals[:, 2] > eig_ratio * evals[:, 1]
-    direction = evecs[:, :, 2]                             # principal axis
-    a = center + 0.1 * direction                           # `:701-706`
-    b = center - 0.1 * direction
-    ok = is_line & jnp.all(nvalid, axis=-1)
-    return a, b, ok
 
 
 def laser_mapping_step(

@@ -68,6 +68,7 @@ class MappingState(NamedTuple):
 class MappingOutput(NamedTuple):
     pose: Pose                  # refined map-frame pose of this scan
     num_plane_residuals: jax.Array  # () int32
+    num_corner_residuals: jax.Array  # () int32 line fits used (r5)
     solve_cost: jax.Array
     converged: jax.Array
     map_points: jax.Array       # () int32 ground-map size
@@ -150,6 +151,28 @@ def _solve3x3(A: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.stack([x0, x1, x2], axis=-1) / safe[..., None]
 
 
+def fit_lines(neigh: jax.Array, nvalid: jax.Array, eig_ratio: float = 3.0):
+    """Batched corner line fit (`laserMapping.cpp:665-723`).
+
+    neigh (Q, k, 3), nvalid (Q, k).  Returns line endpoints a/b (Q, 3) and a
+    validity flag: all k neighbors present and lambda_max > eig_ratio *
+    lambda_mid of the neighborhood covariance (the reference's
+    SelfAdjointEigenSolver line-ness check).  Shared by the always-on
+    corner residuals here and the A-LOAM mapping pipeline
+    (`pipeline/laser_mapping.py`)."""
+    k = neigh.shape[1]
+    center = jnp.mean(neigh, axis=1)                       # (Q, 3)
+    d = neigh - center[:, None, :]
+    cov = jnp.einsum("qki,qkj->qij", d, d) / k
+    evals, evecs = jnp.linalg.eigh(cov)                    # ascending
+    is_line = evals[:, 2] > eig_ratio * evals[:, 1]
+    direction = evecs[:, :, 2]
+    a = center + 0.1 * direction
+    b = center - 0.1 * direction
+    ok = is_line & jnp.all(nvalid, axis=-1)
+    return a, b, ok
+
+
 def _fit_planes(neigh: jax.Array, nvalid: jax.Array, threshold: float):
     """Batched plane fit through k neighbors (reference `:377-430`).
 
@@ -211,17 +234,49 @@ def mapping_step(
     w = (q_mask & plane_ok).astype(jnp.float32)
     num_res = jnp.sum(w).astype(jnp.int32)
 
+    # --- corner point-to-line residuals (config.use_corner_residuals): the
+    # x/y/yaw observations the reference's active core lacks — its corner
+    # tree is fed but unused (`mapOptimization.cpp:478-479,504-505`); the
+    # line-fit residual comes from its own A-LOAM mapping path
+    # (`laserMapping.cpp:665-723`)
+    c_pts, c_mask = voxel_downsample(
+        corner_pts, corner_mask, mc.corner_voxel, mc.max_query_points // 2
+    )
+    if mc.use_corner_residuals:
+        c_world_prior = se3.transform_points(prior, c_pts)
+        cn, _, cnv = grid_hash.knn(
+            state.corner_map, c_world_prior, corner_cell, k=mc.knn,
+            neighborhood=mc.knn_neighborhood,
+        )
+        la, lb, line_ok = fit_lines(cn, cnv, mc.corner_eig_ratio)
+        w_c = ((c_mask & line_ok).astype(jnp.float32)
+               * jnp.float32(mc.corner_sqrt_info) ** 2)
+        num_corner = jnp.sum(c_mask & line_ok).astype(jnp.int32)
+    else:
+        num_corner = jnp.asarray(0, jnp.int32)
+
     # --- robust GN solve from the prior (`:432-442`), anchored by a
     # per-axis prior factor: the ground-plane core observes z/roll/pitch;
-    # x/y/yaw stay near the odometry prediction unless stronger residuals
-    # (corner/edge factors) override them
+    # with enough corner line fits the x/y/yaw prior drops to its weak
+    # setting so the line residuals govern those axes — otherwise x/y/yaw
+    # stay near the odometry prediction
     enough = num_res >= 16
-    prior_sqrt_info = jnp.asarray(mc.prior_sqrt_info, jnp.float32)
+    corner_enough = num_corner >= mc.min_corner_residuals
+    prior_sqrt_info = jnp.where(
+        corner_enough,
+        jnp.asarray(mc.prior_sqrt_info_corner, jnp.float32),
+        jnp.asarray(mc.prior_sqrt_info, jnp.float32),
+    )
     residual_sets = [
         (solver.point_to_plane_nd(
             q_pts, n, d, w * enough.astype(jnp.float32)), 1),
         (solver.pose_prior(prior, prior_sqrt_info), 6),
     ]
+    if mc.use_corner_residuals:
+        residual_sets.append(
+            (solver.point_to_line(
+                c_pts, la, lb, w_c * corner_enough.astype(jnp.float32)), 3)
+        )
     # --- sliding-window visual BA residuals (`:295-361`); the window size is
     # a compile-time constant, so the shipped 0 costs nothing
     if mc.sliding_window_size > 0:
@@ -264,9 +319,6 @@ def mapping_step(
     g_world = se3.transform_points(pose, q_pts)
     ground_map = grid_hash.insert(state.ground_map, g_world, q_mask,
                                   ground_cell)
-    c_pts, c_mask = voxel_downsample(
-        corner_pts, corner_mask, mc.corner_voxel, mc.max_query_points // 2
-    )
     c_world = se3.transform_points(pose, c_pts)
     corner_map = grid_hash.insert(state.corner_map, c_world, c_mask,
                                   corner_cell)
@@ -319,6 +371,7 @@ def mapping_step(
     out = MappingOutput(
         pose=pose,
         num_plane_residuals=num_res,
+        num_corner_residuals=num_corner,
         solve_cost=res.final_cost,
         converged=res.converged,
         map_points=ground_map.num_points,
