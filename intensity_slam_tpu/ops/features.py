@@ -290,12 +290,61 @@ def lift_subpixel(scan: ScanImage, uv_int: jax.Array, uv_sub: jax.Array):
     return jnp.where(same_surf[:, None], xyz_b, xyz_i)
 
 
+def depth_stable_mask(scan: ScanImage, rel: float = 0.1,
+                      abs_m: float = 0.5) -> jax.Array:
+    """(H, W) bool: pixels NOT on an occlusion/depth discontinuity.
+
+    Features on silhouette boundaries (wall-top against sky or the far
+    ground behind) are viewpoint-dependent: the lifted 3-D point rides the
+    ray, not the world, so a pair of such features matched across frames
+    implies ZERO sensor motion — the aperture problem.  On the OS0-64
+    (+-45 deg) table inside a textureless span these silhouette stair-step
+    corners dominated the detector's top-K and their self-matches pulled
+    the odometry solve to identity (measured: 0.4 m/frame error with 40-80
+    "good" matches while the true motion was 0.4 m/frame).  A crease edge
+    (wall meets ground) has CONTINUOUS range across it and survives; an
+    occlusion edge has a range jump and is excluded — the same
+    occlusion-edge exclusion A-LOAM applies to its picks
+    (`scanRegistration.cpp` neighbor-gap checks).
+
+    A pixel is stable when all 4 neighbors are valid and the largest
+    neighbor range difference is below `abs_m + rel * range`.  The mask is
+    then ERODED by the corner-response support radius (sobel 1 + 5x5
+    structure-tensor blur 2 = 3 px): a discontinuity 2-3 pixels away still
+    feeds the response at the center (measured: wall-face pixels 2 rows
+    under a sky edge scored 49 from the edge's smeared gradient while
+    their own 4-neighborhood was range-continuous), so every pixel in the
+    support must be stable for the response to be trusted.
+    """
+    r = scan.range
+    v = scan.valid
+
+    def roll_row(a, s):
+        out = jnp.roll(a, s, axis=0)
+        if s > 0:
+            out = out.at[:s].set(a[:s])
+        else:
+            out = out.at[s:].set(a[s:])
+        return out
+
+    nb = [roll_row(r, 1), roll_row(r, -1),
+          jnp.roll(r, 1, axis=1), jnp.roll(r, -1, axis=1)]
+    nb_v = [roll_row(v, 1), roll_row(v, -1),
+            jnp.roll(v, 1, axis=1), jnp.roll(v, -1, axis=1)]
+    jump = jnp.max(jnp.stack([jnp.abs(r - n) for n in nb]), axis=0)
+    all_valid = v & nb_v[0] & nb_v[1] & nb_v[2] & nb_v[3]
+    stable = all_valid & (jump < abs_m + rel * r)
+    # erosion = NOT(maxpool(NOT stable)) over the support window
+    return _maxpool2d(jnp.where(stable, 0.0, 1.0), 3) < 0.5
+
+
 def extract(scan: ScanImage, detect_mask: jax.Array, cfg: FeatureConfig,
             num_features: int | None = None) -> Features:
     """Full per-frame front-end: detect + orient + describe + 3D lift."""
     K = num_features or cfg.num_features
-    uv, uv_sub, score, valid = detect(scan.intensity, detect_mask, K,
-                                      cfg.nms_radius)
+    uv, uv_sub, score, valid = detect(
+        scan.intensity, detect_mask & depth_stable_mask(scan), K,
+        cfg.nms_radius)
     if cfg.oriented:
         desc, angle = describe(scan.intensity, uv)
     else:

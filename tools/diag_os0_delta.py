@@ -73,8 +73,18 @@ def run(cfg, name):
     worst = rows[np.argsort(-rows[:, 1])[:10]]
     print("  worst-10 dt frames:", [(int(w[0]), round(w[1], 3), int(w[3]),
                                      int(w[4])) for w in worst])
+    lo, hi = int(os.environ.get("ZLO", "0")), int(os.environ.get("ZHI", "0"))
+    if hi > lo:
+        print(f"  zoom [{lo},{hi}): (frame, dt_mm, drot_arcmin, skip, match)")
+        for r in rows[lo:hi]:
+            print(f"    f{int(r[0]):4d} dt={r[1]*1000:7.1f} "
+                  f"rot={np.degrees(r[2])*60:7.1f} skip={int(r[3])} "
+                  f"good={int(r[4])}")
 
 
 if __name__ == "__main__":
-    run(config.os0_64_config(), "OS0-64 +-45")
-    run(config.SlamConfig(), "legacy +-16.6")
+    t = os.environ.get("TABLE", "both")
+    if t in ("os0", "both"):
+        run(config.os0_64_config(), "OS0-64 +-45")
+    if t in ("legacy", "both"):
+        run(config.SlamConfig(), "legacy +-16.6")
