@@ -106,7 +106,9 @@ def bench_full_system(cfg) -> dict:
 
 
 def main() -> None:
-    cfg = config.SlamConfig()
+    # OS0-64-exact beam table (the reference sensor, README.md:153) is
+    # the default benchmark geometry since r5 (VERDICT r4 item 1)
+    cfg = config.os0_64_config()
     sps_front = bench_frontend(cfg)
     full = bench_full_system(cfg)
     sps_full = full["full_system_scans_per_sec"]

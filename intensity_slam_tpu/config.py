@@ -276,11 +276,24 @@ class LoopConfig:
     # odometry drift is bias-dominated, i.e. roughly LINEAR in distance
     # travelled — translation drift_rate (m/m) and rotation rad/m over the
     # chain path between the loop endpoints (see posegraph.optimize).
-    # 0.15 m/m: measured front-end drift on the NOISY corridor runs is
-    # ~0.12 m/m; a genuine loop must sit INSIDE the envelope (s < 1) or the
-    # robust weight starts eating the very correction the loop carries.
-    loop_drift_rate: float = 0.15
-    loop_drift_rot_rate: float = 0.01
+    # r5: tightened 0.15 -> 0.05 after the corner-residual scan-to-map and
+    # the occlusion-boundary feature fix cut live drift to ~0.5% of path
+    # (circuit live max err 0.75 m over 170 m; noisy figure8 2.1 m over
+    # 220 m) — the envelope is the channel-level defense against aliased
+    # wrong candidates, so it should be as tight as real drift allows.
+    loop_drift_rate: float = 0.05
+    loop_drift_rot_rate: float = 0.005
+    # intensity-correlation gate on the ICP inlier pairs
+    # (ops.icp.intensity_correlation): wrong loops align geometry but pair
+    # different surfaces, whose intensities decorrelate.  <= -1 disables.
+    # 0.10 calibrated on the figure8 noise battery: wrong-place loops
+    # score ~0.03 (uncorrelated), true revisits 0.16-0.74 (the low end =
+    # 0.4 m-offset revisits whose voxel sampling straddles texture cells).
+    loop_intensity_min: float = 0.10
+    # pairwise-consistency (PCM-style) vote over the loop table before
+    # every solve (posegraph.consistent_loop_mask)
+    use_pcm: bool = True
+    pcm_chi2: float = 25.0
     # chi^2 acceptance gate on a verified loop's implied correction against
     # the drift envelope: ScanContext matches between self-similar but
     # DIFFERENT places align geometrically (pass the fitness gate) yet

@@ -37,6 +37,8 @@ class ICPResult(NamedTuple):
     inlier_frac: jax.Array  # () fraction of source points within radius
     num_corr: jax.Array # () int32 accepted correspondences at exit
     converged: jax.Array  # () bool — last update below epsilon
+    nn_idx: jax.Array   # (P,) int32 final NN index into tgt per src point
+    inlier: jax.Array   # (P,) bool — src point within fitness_radius of NN
 
 
 def _nn(src_w: jax.Array, src_mask, tgt: jax.Array, tgt_mask):
@@ -113,4 +115,42 @@ def icp_align(
         inlier_frac=n_inl / n_src,
         num_corr=n_inl.astype(jnp.int32),
         converged=last_step < eps * 10 + 1e-4,
+        nn_idx=j.astype(jnp.int32),
+        inlier=inl,
     )
+
+
+def intensity_correlation(
+    src_int: jax.Array,   # (P,) per-point intensity of the source cloud
+    tgt_int: jax.Array,   # (M,) target cloud intensities
+    res: ICPResult,
+) -> jax.Array:
+    """Pearson correlation of intensities over the converged ICP's inlier
+    correspondences — the appearance half of loop verification (r5).
+
+    A WRONG loop between self-similar places aligns geometrically (the
+    fitness gate passes: local structure really does match) but pairs
+    surface points from DIFFERENT physical places, so their intensity
+    textures are uncorrelated; a true revisit pairs the same surfaces and
+    correlates strongly even under speckle noise.  This is the
+    intensity-as-signature thesis of the reference paper (arXiv:2301.09257)
+    applied to loop VERIFICATION rather than odometry.
+
+    NEUTRAL (returns 1.0) when the gate has no information to act on:
+    fewer than 8 inlier pairs (the coverage gates own that case) or
+    near-zero intensity variance on either side (clouds stored without
+    intensity, or a genuinely texture-free scene) — absence of appearance
+    evidence must not veto geometric evidence."""
+    w = res.inlier.astype(jnp.float32)
+    n = jnp.sum(w)
+    a = src_int
+    b = tgt_int[res.nn_idx]
+    ma = jnp.sum(a * w) / jnp.maximum(n, 1.0)
+    mb = jnp.sum(b * w) / jnp.maximum(n, 1.0)
+    va = jnp.sum(w * (a - ma) ** 2)
+    vb = jnp.sum(w * (b - mb) ** 2)
+    cov = jnp.sum(w * (a - ma) * (b - mb))
+    corr = cov / jnp.maximum(jnp.sqrt(va * vb), 1e-6)
+    # informative = both sides vary by more than ~1 intensity unit RMS
+    informative = (va > n) & (vb > n) & (n >= 8)
+    return jnp.where(informative, corr, 1.0)

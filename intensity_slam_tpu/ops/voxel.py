@@ -21,20 +21,22 @@ import jax.numpy as jnp
 from .grid_hash import _mix, _pack, _voxel_coord
 
 
-def compact(pts: jax.Array, mask: jax.Array, capacity: int):
+def compact(pts: jax.Array, mask: jax.Array, capacity: int, aux=None):
     """Public alias of `_compact`: masked front-compaction WITHOUT voxel
     dedup — the `use_voxel: false` path of the loop-cloud filter
     (`config/spot.yaml:31`; `intensity_feature_tracker.cpp:266-283` only
     voxel-filters when USE_VOXEL_FILTER is set)."""
-    return _compact(pts, mask, capacity)
+    return _compact(pts, mask, capacity, aux)
 
 
-def _compact(pts: jax.Array, mask: jax.Array, capacity: int):
+def _compact(pts: jax.Array, mask: jax.Array, capacity: int, aux=None):
     """Pack masked points to the front of a (capacity, 3) buffer.
 
     Conflict-free scatter (each input writes a unique slot), so it costs one
     cumsum + one scatter — far cheaper than carrying the full padded cloud
     through the dedup sort.  Overflow beyond `capacity` is dropped.
+    `aux` (N,) optionally rides along (per-point intensity), returned as a
+    third output.
     """
     N = pts.shape[0]
     cum = jnp.cumsum(mask.astype(jnp.int32))
@@ -47,7 +49,11 @@ def _compact(pts: jax.Array, mask: jax.Array, capacity: int):
     # wrote all N losers into a (capacity + N) buffer
     out = jnp.zeros((capacity, 3)).at[out_idx].set(pts, mode="drop")
     have = jnp.arange(capacity) < cum[-1]
-    return jnp.where(have[:, None], out, 0.0), have
+    out = jnp.where(have[:, None], out, 0.0)
+    if aux is None:
+        return out, have
+    aout = jnp.zeros((capacity,), aux.dtype).at[out_idx].set(aux, mode="drop")
+    return out, have, jnp.where(have, aout, 0)
 
 
 @partial(jax.jit, static_argnames=("voxel", "capacity", "prefilter"))
@@ -57,8 +63,9 @@ def voxel_downsample(
     voxel: float,
     capacity: int,
     prefilter: int | None = None,
-) -> tuple[jax.Array, jax.Array]:
-    """Returns (out (capacity, 3), out_mask (capacity,)).
+    aux: jax.Array | None = None,
+) -> tuple[jax.Array, ...]:
+    """Returns (out (capacity, 3), out_mask (capacity,)[, aux_out]).
 
     Sort-based dedup: points are sorted by (mixed voxel key, distance to
     voxel center) and the first point of each key run wins — exact (no hash
@@ -74,7 +81,10 @@ def voxel_downsample(
     if prefilter is not None and prefilter < pts.shape[0]:
         # sparse mask (e.g. ground bands select ~10% of a scan): compact
         # first so the O(N log N) dedup sort runs on the short buffer
-        pts, mask = _compact(pts, mask, prefilter)
+        if aux is None:
+            pts, mask = _compact(pts, mask, prefilter)
+        else:
+            pts, mask, aux = _compact(pts, mask, prefilter, aux)
     N = pts.shape[0]
     c = _voxel_coord(pts, voxel)
     key = _mix(_pack(c)).astype(jnp.int32)  # bijective mix, any int32 value
@@ -99,4 +109,8 @@ def voxel_downsample(
     out = jnp.zeros((capacity, 3)).at[out_idx].set(pts[si], mode="drop")
     have = jnp.arange(capacity) < cum[-1]
     out = jnp.where(have[:, None], out, 0.0)
-    return out, have
+    if aux is None:
+        return out, have
+    aout = jnp.zeros((capacity,), aux.dtype).at[out_idx].set(
+        aux[si], mode="drop")
+    return out, have, jnp.where(have, aout, 0)

@@ -18,7 +18,7 @@ VECTOR (K x 7 floats, tiny) and the odometry chain terms are replicated.
 The only communication is ONE `psum` of the loop normal-equation
 contribution (H_loop, b_loop) per GN iteration — an all-reduce that rides
 ICI on a real slice.  Every shard then runs the identical dense Cholesky +
-associative-scan pose rebuild (`posegraph._dense_update`), so the output is
+associative-scan pose rebuild (`posegraph._dense_update_multi`), so the output is
 replicated by construction.
 
 The reference's counterpart is single-threaded iSAM2 inside one process

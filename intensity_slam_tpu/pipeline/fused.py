@@ -69,6 +69,7 @@ class FrameInfo(NamedTuple):
     loop_found: jax.Array
     loop_idx: jax.Array
     icp_fitness: jax.Array
+    icp_int_corr: jax.Array
     num_kf: jax.Array
     compacted: jax.Array
     pose_t: jax.Array     # (3,) current mapping-frame position
@@ -130,6 +131,7 @@ def fused_step(
             feat_xyz=out.feat_xyz,
             ground_pts=out.ground_ds, ground_mask=out.ground_ds_mask,
             corner_pts=out.corner_ds, corner_mask=out.corner_ds_mask,
+            scan_int=inten,
         )
         # --- live correction feedback (reference: updatePoses + tf
         # map->pgo_odom): re-base the mapping frame, move the raw anchors,
@@ -165,7 +167,8 @@ def fused_step(
             loop_found=jnp.asarray(False), loop_idx=jnp.int32(-1),
             icp_fitness=jnp.asarray(jnp.inf), correction=Pose.identity(),
             sc_found=jnp.asarray(False), sc_dist=jnp.asarray(jnp.inf),
-            icp_inlier_frac=jnp.asarray(0.0), compacted=jnp.asarray(False),
+            icp_inlier_frac=jnp.asarray(0.0),
+            icp_int_corr=jnp.asarray(-2.0), compacted=jnp.asarray(False),
         )
         return sstate, small, loop_mod.empty_slot(cfg), bout
 
@@ -200,6 +203,7 @@ def fused_step(
         loop_found=bout.loop_found,
         loop_idx=bout.loop_idx,
         icp_fitness=bout.icp_fitness,
+        icp_int_corr=bout.icp_int_corr,
         num_kf=bstate.num_kf,
         compacted=bout.compacted,
         pose_t=logged.t,

@@ -59,6 +59,8 @@ class BackendState(NamedTuple):
     graph: posegraph.PoseGraph
     kf_cloud: jax.Array       # (K, P, 3) sensor-frame subsampled clouds [PHYS]
     kf_cloud_mask: jax.Array  # (K, P)                                  [PHYS]
+    kf_cloud_int: jax.Array   # (K, P) per-point intensity — the
+    # appearance channel of loop ICP verification (r5)          [PHYS]
     kf_sc: jax.Array          # (K, R, S)
     kf_ringkey: jax.Array     # (K, R)
     kf_sig: jax.Array         # (K, V) bag-of-binary-words signatures (C8)
@@ -95,7 +97,7 @@ class BackendState(NamedTuple):
 # logical-ordered control state (small).  keyframe_core carries only the
 # small fields through the keyframe cond; write_slot scatters the payload.
 _PAYLOAD_FIELDS = (
-    "kf_cloud", "kf_cloud_mask", "kf_feat_desc", "kf_feat_xyz",
+    "kf_cloud", "kf_cloud_mask", "kf_cloud_int", "kf_feat_desc", "kf_feat_xyz",
     "kf_feat_valid", "kf_ground", "kf_ground_mask", "kf_corner",
     "kf_corner_mask",
 )
@@ -125,6 +127,7 @@ class SlotData(NamedTuple):
     phys: jax.Array           # () int32
     cloud: jax.Array          # (P, 3)
     cloud_mask: jax.Array     # (P,)
+    cloud_int: jax.Array      # (P,)
     feat_desc: jax.Array      # (F, 8) uint32
     feat_xyz: jax.Array       # (F, 3)
     feat_valid: jax.Array     # (F,)
@@ -164,6 +167,7 @@ def empty_slot(cfg: SlamConfig) -> SlotData:
         phys=jnp.int32(K),
         cloud=jnp.zeros((P, 3), jnp.float32),
         cloud_mask=jnp.zeros((P,), bool),
+        cloud_int=jnp.zeros((P,), jnp.float32),
         feat_desc=jnp.zeros((F, 8), jnp.uint32),
         feat_xyz=jnp.zeros((F, 3), jnp.float32),
         feat_valid=jnp.zeros((F,), bool),
@@ -185,6 +189,7 @@ def write_slot(state: BackendState, small: SmallState, slot: SlotData
     return merge_small(state, small)._replace(
         kf_cloud=state.kf_cloud.at[p].set(slot.cloud, **d),
         kf_cloud_mask=state.kf_cloud_mask.at[p].set(slot.cloud_mask, **d),
+        kf_cloud_int=state.kf_cloud_int.at[p].set(slot.cloud_int, **d),
         kf_feat_desc=state.kf_feat_desc.at[p].set(slot.feat_desc, **d),
         kf_feat_xyz=state.kf_feat_xyz.at[p].set(slot.feat_xyz, **d),
         kf_feat_valid=state.kf_feat_valid.at[p].set(slot.feat_valid, **d),
@@ -224,6 +229,8 @@ class BackendOutput(NamedTuple):
     sc_found: jax.Array       # () bool — ScanContext candidate fired
     sc_dist: jax.Array        # () f32 — best ScanContext distance
     icp_inlier_frac: jax.Array  # () f32
+    icp_int_corr: jax.Array   # () f32 intensity correlation of the ICP
+    # inlier pairs (-2 when no candidate was verified this keyframe)
     compacted: jax.Array      # () bool — keyframe store was full and was
     # decimated by 2 BEFORE this keyframe was ingested (host mirrors it)
 
@@ -238,6 +245,7 @@ def init_state(cfg: SlamConfig) -> BackendState:
         graph=posegraph.empty(K, 256),
         kf_cloud=jnp.zeros((K, P, 3), jnp.float32),
         kf_cloud_mask=jnp.zeros((K, P), bool),
+        kf_cloud_int=jnp.zeros((K, P), jnp.float32),
         kf_sc=jnp.zeros((K, lc.sc_num_ring, lc.sc_num_sector), jnp.float32),
         kf_ringkey=jnp.zeros((K, lc.sc_num_ring), jnp.float32),
         kf_sig=jnp.zeros((K, bow.SIG_FEATURES, 9), jnp.uint32),
@@ -305,6 +313,8 @@ def keyframe_core(
     ground_mask: jax.Array | None = None,  # ground cloud (map rebuild input)
     corner_pts: jax.Array | None = None,   # (Pc, 3) downsampled corner cloud
     corner_mask: jax.Array | None = None,
+    scan_int: jax.Array | None = None,     # (N,) per-point intensity (the
+    # loop-verification appearance channel; zeros when absent)
 ) -> tuple[SmallState, SlotData, BackendOutput]:
     """One keyframe's back-end work on the cond-carried small state: slot
     allocation, graph node, loop detect, ICP verify, PGO.  Returns the
@@ -323,12 +333,16 @@ def keyframe_core(
     # --- ingest: physical slot + node + descriptors
     phys = small.free_slots[small.free_count - 1]
     graph = posegraph.add_node(small.graph, map_pose)
+    if scan_int is None:
+        scan_int = jnp.zeros(scan_xyz.shape[0], jnp.float32)
     if lc.use_voxel:
-        cloud, cmask = voxel_downsample(
-            scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size
+        cloud, cmask, cint = voxel_downsample(
+            scan_xyz, scan_mask, lc.voxel_size * 2.0, lc.keyframe_cloud_size,
+            aux=scan_int,
         )
     else:
-        cloud, cmask = compact(scan_xyz, scan_mask, lc.keyframe_cloud_size)
+        cloud, cmask, cint = compact(
+            scan_xyz, scan_mask, lc.keyframe_cloud_size, aux=scan_int)
     sc = scancontext.make_scancontext(scan_xyz, scan_mask, lc)
     rk = scancontext.ring_key(sc)
     sig = bow.signature(desc, desc_valid)
@@ -341,7 +355,7 @@ def keyframe_core(
         corner_pts = jnp.zeros_like(payload.kf_corner[0])
         corner_mask = jnp.zeros_like(payload.kf_corner_mask[0])
     slot = SlotData(
-        phys=phys, cloud=cloud, cloud_mask=cmask,
+        phys=phys, cloud=cloud, cloud_mask=cmask, cloud_int=cint,
         feat_desc=desc, feat_xyz=feat_xyz, feat_valid=desc_valid,
         ground=ground_pts, ground_mask=ground_mask,
         corner=corner_pts, corner_mask=corner_mask,
@@ -367,15 +381,36 @@ def keyframe_core(
     # fire: ScanContext > BoW > radius (strongest geometric evidence first).
     kf_valid = jnp.arange(lc.max_keyframes) < state.num_kf
     F = jnp.asarray(False)
+    # per-CANDIDATE plausibility (r5): a true revisit's graph-frame
+    # separation from the current node is bounded by accumulated drift
+    # (linear-in-path envelope).  Filtering candidates HERE — instead of
+    # testing only the best-scoring candidate after retrieval (the r3/r4
+    # pre-gate) — both rejects aliased same-looking WRONG candidates and
+    # recovers the correct lower-scoring one the old gate threw the whole
+    # frame away over.  In an aliased corridor (texture tiles every 10 m)
+    # this is the only channel-level signal that separates the true
+    # revisit from its copies one period away.
+    idx_env = jnp.arange(lc.max_keyframes)
+    step_env = jnp.where(
+        (idx_env >= 1) & (idx_env < state.graph.num_nodes),
+        jnp.linalg.norm(state.graph.odo_rel.t, axis=-1), 0.0,
+    )
+    cum_env = jnp.cumsum(step_env)
+    path_env = jnp.abs(cum_env[k] - cum_env)
+    sep_env = jnp.linalg.norm(
+        state.graph.poses.t - state.graph.poses.t[k][None, :], axis=-1)
+    cand_plausible = sep_env <= (
+        3.0 * lc.loop_drift_rate * jnp.maximum(path_env, 1.0) + 1.0)
+    kf_eligible = kf_valid & cand_plausible
     if lc.use_scancontext:
         sc_idx, yaw, sc_dist, sc_found = scancontext.detect_loop(
-            sc, rk, state.kf_sc, state.kf_ringkey, kf_valid, k, lc
+            sc, rk, state.kf_sc, state.kf_ringkey, kf_eligible, k, lc
         )
     else:
         sc_idx, sc_dist, sc_found = jnp.int32(-1), jnp.asarray(jnp.inf), F
     if lc.use_bow_loop:
         bow_idx, bow_score, bow_found = bow.detect_loop(
-            sig, state.kf_sig, kf_valid, k, lc
+            sig, state.kf_sig, kf_eligible, k, lc
         )
     else:
         bow_idx, bow_found = jnp.int32(-1), F
@@ -412,28 +447,10 @@ def keyframe_core(
     # edge (the reference throttles via its 10 Hz loop-thread cadence +
     # MIN_LOOP_SEARCH_GAP, `intensity_feature_tracker.cpp:195-214`)
     cooled = (k - state.last_loop_kf) >= lc.loop_cooldown_kf
-    # plausibility PRE-gate before the expensive ICP verify: a true revisit
-    # puts both keyframes at the same physical spot, so their GRAPH-frame
-    # separation can only be the accumulated drift — bounded by the same
-    # plausible-drift envelope the post-ICP chi2 gate whitens with.
-    # Aliased BoW/SC matches to self-similar but DIFFERENT places imply
-    # separations far outside it; rejecting them here skips a ~50 ms
-    # ICP+gates pass per false candidate at keyframe rate (the r3 circuit
-    # spent most of its keyframe budget inside rejected verifies), where
-    # this check is two gathers and a norm.
-    idx_n0 = jnp.arange(lc.max_keyframes)
-    step_len0 = jnp.where(
-        (idx_n0 >= 1) & (idx_n0 < state.graph.num_nodes),
-        jnp.linalg.norm(state.graph.odo_rel.t, axis=-1), 0.0,
-    )
-    cum_len0 = jnp.cumsum(step_len0)
-    path0 = jnp.abs(cum_len0[k] - cum_len0[jnp.maximum(loop_idx, 0)])
-    sep = jnp.linalg.norm(
-        state.graph.poses.t[k] - state.graph.poses.t[jnp.maximum(loop_idx, 0)]
-    )
-    env_sd = lc.loop_drift_rate * jnp.maximum(path0, 1.0)
-    plausible = sep <= 3.0 * env_sd + 1.0
-    found = (sc_found | bow_found | rad_found) & cooled & plausible
+    # (the r3/r4 best-candidate-only plausibility pre-gate is subsumed by
+    # the per-candidate `cand_plausible` filter above: every retrieved
+    # candidate already sits inside the drift envelope)
+    found = (sc_found | bow_found | rad_found) & cooled
 
     def verify_and_close(st: SmallState):
         g = st.graph
@@ -451,7 +468,7 @@ def keyframe_core(
         P = lc.keyframe_cloud_size
         win = jnp.arange(-lc.submap_window, lc.submap_window + 1)
         idxs = jnp.clip(loop_idx + win, 0, jnp.maximum(st.num_kf - 1, 0))
-        tgt_parts, tgt_masks = [], []
+        tgt_parts, tgt_masks, tgt_ints = [], [], []
         for wi in range(win.shape[0]):
             i = idxs[wi]
             Ti = jax.tree.map(lambda a: a[i], g.poses)
@@ -460,8 +477,10 @@ def keyframe_core(
             tgt_parts.append(
                 se3.transform_points(rel_i, payload.kf_cloud[si]))
             tgt_masks.append(payload.kf_cloud_mask[si])
+            tgt_ints.append(payload.kf_cloud_int[si])
         tgt = jnp.concatenate(tgt_parts)
         tgt_mask = jnp.concatenate(tgt_masks)
+        tgt_int = jnp.concatenate(tgt_ints)
         # source: current cloud in its own sensor frame; ICP solves
         # M: cur-sensor -> loop-local.  Init: Rz(scan-context yaw) when the
         # SC channel produced the candidate; otherwise the ROTATION of the
@@ -495,6 +514,15 @@ def keyframe_core(
             src, src_mask, tgt, tgt_mask, init,
             iters=lc.icp_iters, max_corr_dist=lc.icp_max_corr,
         )
+        # appearance gate (r5): Pearson correlation of per-point intensity
+        # over the converged alignment's inlier pairs.  Wrong loops between
+        # self-similar places align geometrically but pair DIFFERENT
+        # surfaces, so their intensity textures are uncorrelated — the
+        # reference paper's intensity-as-signature thesis applied to loop
+        # verification (see ops.icp.intensity_correlation).  Gated at
+        # lc.loop_intensity_min; <= -1 disables (and clouds stored without
+        # intensity correlate at 0, so the gate must be off for them).
+        int_corr = icp.intensity_correlation(cint, tgt_int, res)
         # between measurement: M maps cur-sensor to loop-local, so
         # Z_{cur->loop} = M^-1 (`:330-363` semantics)
         rel = se3.inverse(res.pose)
@@ -526,10 +554,32 @@ def keyframe_core(
         # last update jittering at ~1e-3 on TPU floats, and PCL's
         # hasConverged() is likewise true after any normally-terminated
         # align()
+        # tentatively add the edge and run the pairwise-consistency vote
+        # over the whole loop table (posegraph.consistent_loop_mask): the
+        # candidate must join the maximum mutually-consistent clique of
+        # loop edges (cycle residuals through the raw odometry chain inside
+        # the drift envelope).  A wrong loop conflicts with every correct
+        # loop sharing a chain segment and is vetoed here; an EARLIER
+        # accepted wrong loop is re-voted at each later solve and drops out
+        # of `active` once correct loops outnumber it.
+        l_new = g.num_loops % g.loop_valid.shape[0]
+        g_cand = posegraph.add_loop(g, k, loop_idx, rel, res.fitness, lc)
+        if lc.use_pcm:
+            active = posegraph.consistent_loop_mask(
+                g_cand, odo_noise=lc.odom_noise,
+                drift_rate=lc.loop_drift_rate,
+                drift_rot_rate=lc.loop_drift_rot_rate,
+                chi2_max=lc.pcm_chi2,
+            )
+            pcm_ok = active[l_new]
+        else:
+            active, pcm_ok = g_cand.loop_valid, jnp.asarray(True)
         accept = (
             (res.fitness <= lc.icp_fitness_score)
             & (res.inlier_frac >= lc.icp_min_inlier_frac)
             & (chi2 <= lc.loop_gate_chi2)
+            & (int_corr >= lc.loop_intensity_min)
+            & pcm_ok
         )
         # the PGO solve runs ONLY on acceptance: BoW proposes aggressively
         # and relies on the ICP/chi2 gates to reject
@@ -538,7 +588,7 @@ def keyframe_core(
         # (measured: the r3 circuit run spent ~10 s of its 31 s inside
         # rejected-candidate solves before this gate)
         def do_close(gg):
-            g2 = posegraph.add_loop(gg, k, loop_idx, rel, res.fitness, lc)
+            g2 = g_cand
             if lc.online_pgo:
                 g2 = posegraph.optimize(
                     g2, gn_iters=lc.pgo_gn_iters, cg_iters=64,
@@ -546,6 +596,7 @@ def keyframe_core(
                     loop_cauchy_c=lc.loop_cauchy_c,
                     drift_rate=lc.loop_drift_rate,
                     drift_rot_rate=lc.loop_drift_rot_rate,
+                    loop_active=active,
                 )
             # else: defer the global solve to the distributed back-end
             # (config.LoopConfig.online_pgo); the edge is recorded, poses
@@ -569,6 +620,7 @@ def keyframe_core(
             icp_fitness=res.fitness, correction=corr,
             sc_found=found, sc_dist=sc_dist,
             icp_inlier_frac=res.inlier_frac,
+            icp_int_corr=int_corr,
             compacted=need_compact,
         )
 
@@ -579,6 +631,7 @@ def keyframe_core(
             correction=Pose.identity(),
             sc_found=found, sc_dist=sc_dist,
             icp_inlier_frac=jnp.asarray(0.0),
+            icp_int_corr=jnp.asarray(-2.0),
             compacted=need_compact,
         )
 

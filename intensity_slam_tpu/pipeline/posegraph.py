@@ -310,8 +310,9 @@ def optimize(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
-    drift_rate: float = 0.15,
-    drift_rot_rate: float = 0.01,
+    drift_rate: float = 0.05,
+    drift_rot_rate: float = 0.005,
+    loop_active: jax.Array | None = None,
 ) -> PoseGraph:
     """Full batched GN solve; returns the graph with updated poses.
 
@@ -359,6 +360,11 @@ def optimize(
     # normalization below)
     scale = 1e-3
     base_loop_si = g.loop_sqrt_info * scale
+    # effective loop mask: table validity AND (optionally) the
+    # pairwise-consistency vote (`consistent_loop_mask`) — a deactivated
+    # loop stays in the table but contributes nothing to this solve
+    loop_on = (g.loop_valid if loop_active is None
+               else g.loop_valid & loop_active)
 
     idx_n = jnp.arange(K)
     step_len = jnp.where(
@@ -411,7 +417,7 @@ def optimize(
             loop_si = base_loop_si * w_rob[:, None]
         else:
             loop_si = base_loop_si
-        loop_si = loop_si * g.loop_valid[:, None]
+        loop_si = loop_si * loop_on[:, None]
 
         # ---- DENSE damped-GN step in RELATIVE coordinates ------------------
         # Unknowns are per-edge increments delta_k (rel_k' = rel_est_k o
@@ -580,9 +586,111 @@ def _dense_update_multi(poses: Pose, node_valid, odo_ok, rel_est: Pose,
     return jax.vmap(solve_one)(jnp.asarray(lams, jnp.float32))
 
 
-def _dense_update(poses: Pose, node_valid, odo_ok, rel_est: Pose,
-                  r_odo, J_odo, Hl, bl, lam: float = 1e-6) -> Pose:
-    """Single-damping wrapper over `_dense_update_multi`."""
-    out = _dense_update_multi(poses, node_valid, odo_ok, rel_est, r_odo,
-                              J_odo, Hl, bl, jnp.asarray([lam]))
-    return jax.tree.map(lambda a: a[0], out)
+def chain_poses(odo_rel: Pose, num_nodes: jax.Array) -> Pose:
+    """[K] absolute RAW-odometry chain poses C_k = rel_1 o ... o rel_k
+    (node-0 gauge) via one associative scan — the drift-frame trajectory
+    the pairwise-consistency vote differences loops against.  Entries at
+    or beyond `num_nodes` compose identities and repeat the last pose."""
+    K = odo_rel.t.shape[0]
+    ok = ((jnp.arange(K) >= 1) & (jnp.arange(K) < num_nodes))[:, None]
+    q = jnp.where(ok, odo_rel.q, jnp.array([1.0, 0.0, 0.0, 0.0]))
+    t = jnp.where(ok, odo_rel.t, 0.0)
+
+    def comb(a, b):
+        qa, ta = a
+        qb, tb = b
+        return (se3.quat_normalize(se3.quat_mul(qa, qb)),
+                ta + se3.quat_rotate(qa, tb))
+
+    cq, ct = jax.lax.associative_scan(comb, (q, t))
+    return Pose(cq, ct)
+
+
+def consistent_loop_mask(
+    g: PoseGraph,
+    odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
+    drift_rate: float = 0.05,
+    drift_rot_rate: float = 0.005,
+    chi2_max: float = 25.0,
+) -> jax.Array:
+    """(L,) bool: the greedy maximum mutually-consistent clique of loop
+    edges — pairwise consistent measurement set maximization (PCM,
+    Mangelson et al. 2018) batched for the TPU.
+
+    Each loop a carries a world-mismatch W_a = C_{i_a} o Z_a o C_{j_a}^-1
+    over the RAW odometry chain (identity under drift-free odometry; the
+    accumulated drift between its endpoints otherwise).  Two loops are
+    consistent when log(W_a^-1 W_b) — the cycle residual through the
+    odometry segments i_a<->i_b and j_a<->j_b — fits inside the
+    linear-in-path drift envelope plus both measurements' own noise.  The
+    consistency matrix is one (L, L, 6) batched pose composition; the
+    clique grows greedily from the highest-degree loop (exact max-clique
+    buys nothing at L<=256 against gross outliers, which are inconsistent
+    with EVERYTHING).  Wrong loops between self-similar places conflict
+    with every correct loop sharing chain segments and drop out; a lone
+    first loop is its own clique of one (accepted — the per-loop gates own
+    that decision).
+
+    The vote uses only MEASUREMENTS (odo_rel, loop_rel), never the current
+    pose iterate, so it is stable across solves: an early-accepted wrong
+    loop is re-voted at every later solve and deactivates once correct
+    loops outnumber it.  No reference counterpart — the reference trusts
+    its ICP fitness gate alone (`intensity_feature_tracker.cpp:301-363`),
+    which round 4's battery measured at precision 0.47 on early-revisit
+    worlds.
+    """
+    L = g.loop_valid.shape[0]
+    C = chain_poses(g.odo_rel, g.num_nodes)
+    K = g.node_valid.shape[0]
+    idx_n = jnp.arange(K)
+    step_len = jnp.where(
+        (idx_n >= 1) & (idx_n < g.num_nodes),
+        jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
+    cum = jnp.cumsum(step_len)
+
+    Ci = jax.tree.map(lambda a: a[g.loop_i], C)
+    Cj = jax.tree.map(lambda a: a[g.loop_j], C)
+    W = se3.compose(se3.compose(Ci, g.loop_rel), se3.inverse(Cj))   # [L]
+
+    r = jax.vmap(
+        lambda wq, wt: jax.vmap(
+            lambda vq, vt: se3.se3_log(
+                se3.compose(se3.inverse(Pose(wq, wt)), Pose(vq, vt)))
+        )(W.q, W.t)
+    )(W.q, W.t)                                                     # (L, L, 6)
+
+    path_i = jnp.abs(cum[g.loop_i][:, None] - cum[g.loop_i][None, :])
+    path_j = jnp.abs(cum[g.loop_j][:, None] - cum[g.loop_j][None, :])
+    n_i = jnp.abs(g.loop_i[:, None] - g.loop_i[None, :])
+    n_j = jnp.abs(g.loop_j[:, None] - g.loop_j[None, :])
+    steps = jnp.maximum((n_i + n_j).astype(jnp.float32), 1.0)
+    path = jnp.maximum(path_i + path_j, 1.0)
+    odo_var = jnp.asarray(odo_noise, jnp.float32)
+    drift_var = jnp.concatenate([
+        jnp.broadcast_to((drift_rot_rate * path[..., None]) ** 2,
+                         (L, L, 3)),
+        jnp.broadcast_to((drift_rate * path[..., None]) ** 2, (L, L, 3)),
+    ], axis=-1)
+    meas_var = 1.0 / jnp.clip(g.loop_sqrt_info, 1e-6, None) ** 2    # (L, 6)
+    env = (steps[..., None] * odo_var[None, None, :] + drift_var
+           + meas_var[:, None, :] + meas_var[None, :, :])
+    chi2 = jnp.sum(r * r / env, axis=-1)                            # (L, L)
+
+    valid = g.loop_valid
+    pair_ok = valid[:, None] & valid[None, :]
+    Cmat = pair_ok & (chi2 <= chi2_max)
+    Cmat = Cmat | jnp.diag(valid)                                   # self
+    Cmat = Cmat & Cmat.T                                            # symmetric
+
+    deg = jnp.sum(Cmat, axis=1)
+    pivot = jnp.argmax(jnp.where(valid, deg, -1))
+    S0 = jnp.zeros((L,), bool).at[pivot].set(jnp.any(valid))
+
+    def grow(_, S):
+        with_all = jnp.all(jnp.where(S[None, :], Cmat, True), axis=1)
+        cand = valid & (~S) & with_all
+        score = jnp.where(cand, deg, -1)
+        nxt = jnp.argmax(score)
+        return S.at[nxt].set(S[nxt] | (score[nxt] >= 0))
+
+    return jax.lax.fori_loop(0, L, grow, S0)

@@ -44,7 +44,7 @@ from intensity_slam_tpu.utils.se3 import Pose
 
 
 def main() -> None:
-    cfg = config.SlamConfig()
+    cfg = config.os0_64_config()   # OS0-64-exact default (r5)
     frames = 64
     world = synthetic.corridor_world()
     poses = synthetic.corridor_trajectory(frames, speed=0.35, yaw_rate=0.005)

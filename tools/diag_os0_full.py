@@ -24,13 +24,25 @@ FRAMES = int(os.environ.get("FRAMES", "420"))
 
 
 def run(cfg, name):
-    world = synthetic.circuit_world()
-    poses = synthetic.circuit_trajectory(FRAMES, speed=0.4)
-    render = jax.jit(lambda q, t: synthetic.render_sequence(
-        se3.Pose(q, t), world, cfg.sensor))
+    wname = os.environ.get("WORLD", "circuit")
+    if wname == "circuit":
+        world = synthetic.circuit_world()
+        poses = synthetic.circuit_trajectory(FRAMES, speed=0.4)
+    elif wname == "figure8":
+        world = synthetic.figure_eight_world()
+        poses = synthetic.figure_eight_trajectory(FRAMES, speed=0.4)
+    else:
+        world = synthetic.aliased_corridor_world()
+        poses = synthetic.aliased_corridor_trajectory(FRAMES, speed=0.4)
+    name = f"{name} [{wname}]"
+    noise = synthetic.DEFAULT_NOISE if os.environ.get("NOISE") else None
+    key = jax.random.PRNGKey(int(os.environ.get("SEED", "0")))
+    render = jax.jit(lambda q, t, k: synthetic.render_sequence(
+        se3.Pose(q, t), world, cfg.sensor, noise=noise, key=k))
     chunks = []
     for s in range(0, FRAMES, 32):
-        cx, ci = render(poses.q[s:s + 32], poses.t[s:s + 32])
+        key, sub = jax.random.split(key)
+        cx, ci = render(poses.q[s:s + 32], poses.t[s:s + 32], sub)
         chunks.append((np.asarray(cx), np.asarray(ci)))
     xyz = jnp.asarray(np.concatenate([c[0] for c in chunks]))
     inten = jnp.asarray(np.concatenate([c[1] for c in chunks]))

@@ -196,7 +196,9 @@ def main() -> int:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "RESULTS_loops.json"))
     args = ap.parse_args()
-    base_cfg = config.SlamConfig()
+    # OS0-64-exact beam table is the DEFAULT benchmark sensor (VERDICT
+    # r4 item 1): the reference demo recording is an OS0-64, +-45 deg FOV
+    base_cfg = config.os0_64_config()
 
     results = {"frames": args.frames, "seeds": args.seeds,
                "gt_near_m": GT_NEAR_M, "noise": "DEFAULT_NOISE",

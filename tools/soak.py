@@ -47,7 +47,7 @@ def main() -> int:
         "RESULTS_soak.json"))
     args = ap.parse_args()
 
-    cfg = config.SlamConfig()
+    cfg = config.os0_64_config()   # OS0-64-exact default (r5)
     # one closed lap: 4 x 35 m legs at 0.4 m/frame + 4 smooth quarter turns
     LAP = 390
     world = synthetic.circuit_world()
