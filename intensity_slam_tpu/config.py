@@ -133,11 +133,11 @@ class MappingConfig:
     map_capacity: int = 1 << 20       # voxel-hash capacity (points)
     cell_capacity: int = 8            # points per voxel cell
     cell_size: float = 0.4            # hash voxel edge
-    max_query_points: int = 1024      # padded per-frame ground points for NN
-    # (0.8 m-voxel-downsampled ground clouds run ~200 pts/frame on 64x1024
-    # corridor scans; 1024 leaves 5x headroom and quarters the kNN/plane-fit/
-    # GN cost versus a 4096 pad — overflow degrades to dropped residuals,
-    # never to wrong ones)
+    max_query_points: int = 2048      # padded per-frame ground+surf points
+    # for NN.  r5: the plane core consumes the RANSAC ground AND the
+    # less-flat surf cloud (walls); on the +-45 OS0 table nearby ground
+    # alone fills ~1100 voxel cells, so 1024 crowded the wall planes out
+    # entirely.  Overflow degrades to dropped residuals, never wrong ones.
     # sliding-window visual BA (`mapOptimization.cpp:295-361`): ORB matches
     # against the last `sliding_window_size` mapped frames add point-to-point
     # residuals (`FeatureMatchingResidual`) alongside the ground core.

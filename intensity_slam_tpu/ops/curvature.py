@@ -78,14 +78,25 @@ def _row_conv_sum(x: jax.Array, half: int) -> jax.Array:
 
 
 def compute_curvature(scan: ScanImage, half: int = 5):
-    """Returns (curvature (H, W), window_valid (H, W))."""
+    """Returns (curvature (H, W), window_valid (H, W)).
+
+    RANGE-NORMALIZED (r5 divergence from `scanRegistration.cpp:397-412`):
+    the raw A-LOAM sum-of-diffs curvature scales with the square of point
+    spacing, i.e. with range² and grazing angle — a smooth oblique wall at
+    7 m scores 0.15 (over the 0.1 pick threshold) from spacing variation
+    alone, and because that score is MONOTONE along the wall, the
+    per-segment top-K picks land at eligibility boundaries, which ride
+    the viewpoint (measured: a sensor-locked vertical stripe of "corner"
+    picks that dragged scan-to-map backward 0.1 m/frame).  Dividing by r²
+    makes the measure scale-free: smooth walls ~0.003, box fold edges
+    ~0.8, ground-wall creases ~3-5 — physical kinks only at any range."""
     # one batched pass over 4 channels: x, y, z, validity count
     chans = jnp.concatenate(
         [jnp.moveaxis(scan.xyz, -1, 0), scan.valid[None].astype(jnp.float32)]
     )
     sums = _row_conv_sum(chans, half)
     diff = sums[:3] - (2 * half + 1) * jnp.moveaxis(scan.xyz, -1, 0)
-    curv = jnp.sum(diff * diff, axis=0)
+    curv = jnp.sum(diff * diff, axis=0) / jnp.maximum(scan.range, 0.1) ** 2
     # a window is only meaningful if every contributing point is valid
     window_valid = scan.valid & (sums[3] >= (2 * half + 1) - 0.5)
     return curv, window_valid
@@ -135,17 +146,58 @@ def extract_features(
     curv, wvalid = compute_curvature(scan)
     # removal radius (`remove_radius` 0.3, scanRegistration.cpp:695)
     far_enough = scan.range > cfg.min_range
-    base_ok = wvalid & far_enough
+    # occlusion / parallel-beam exclusion (`scanRegistration.cpp:412-436`
+    # generalized to both scan directions): points whose curvature window
+    # touches a range DISCONTINUITY ride the viewpoint — they are where
+    # background emerges from behind an occluder (box-shadow boundaries on
+    # walls, wall-top cutoffs), not physical structure.  Without this the
+    # top-curvature picks ARE those boundary points, and corner-map
+    # residuals against them drag the mapped pose backward along the
+    # motion (measured: 0.09 m/frame pull-back on the textureless-corridor
+    # fallback test; a +0.35 m systematic x-bias in frame-1 line residuals
+    # from vertical shadow edges at the box-occlusion azimuth).  Fold
+    # edges and creases (range-CONTINUOUS kinks — the features LOAM
+    # actually wants) survive.  Near-parallel beams (both azimuth neighbor
+    # diffs > 2 % of range) are excluded as in the reference.
+    r = scan.range
+    v = scan.valid
+    lf, rt = jnp.roll(r, 1, axis=1), jnp.roll(r, -1, axis=1)
+    # DIRECTIONAL far-side exclusion, as in the reference: at an azimuth
+    # jump the points on the FARTHER side are where background emerges
+    # from behind the occluder and ride the viewpoint; the nearer side is
+    # the occluder's own (physical, keepable) edge.  Gap threshold is
+    # absolute + relative; only same-validity neighbors count (sky gaps
+    # are already outside the curvature window via wvalid).
+    gap = 0.3 + 0.05 * r
+    e1 = (r - rt > gap) & v & jnp.roll(v, -1, axis=1)   # i farther than i+1
+    e2 = (rt - r > gap) & v & jnp.roll(v, -1, axis=1)   # i+1 farther than i
+    occ = jnp.zeros_like(e1)
+    for d in range(0, 6):
+        occ = occ | jnp.roll(e1, -d, axis=1)   # e1 at i+d marks i..i+5
+    for d in range(1, 7):
+        occ = occ | jnp.roll(e2, d, axis=1)    # e2 at i-d marks i+1..i+6
+    # near-parallel beams (both azimuth neighbor diffs > 2 % of range),
+    # `scanRegistration.cpp` parallel-beam check
+    parallel = ((jnp.abs(r - lf) > 0.02 * r)
+                & (jnp.abs(rt - r) > 0.02 * r))
+    base_ok = wvalid & far_enough & ~occ & ~parallel
 
     # ---- corners: high curvature, locally maximal (declustering stands in
     # for the reference's +/-5 neighbor-picked suppression); flats: lowest
     # curvature.  All three picks share one stacked top_k.
+    # ELIGIBILITY uses the scale-free normalized curvature (smooth oblique
+    # walls can never qualify, at any range); RANKING uses the raw
+    # (range-scaled) measure, restoring the reference's preference for
+    # NEAR, strong edges — distant edges lift with coarse angular
+    # quantization and make noisy map lines (measured: ranking by the
+    # normalized score pushed circuit live ATE 0.26 -> 0.62 m).
+    curv_raw = curv * jnp.maximum(scan.range, 0.1) ** 2
     corner_elig = base_ok & (curv > cfg.curvature_threshold)
-    nms = _nms_row(jnp.where(corner_elig, curv, -jnp.inf), 5)
+    nms = _nms_row(jnp.where(corner_elig, curv_raw, -jnp.inf), 5)
     flat_elig = base_ok & (curv < cfg.curvature_threshold)
     (sharp_r, sharp_c, sharp_ok), (ls_r, ls_c, ls_ok), (fl_r, fl_c, fl_ok) \
         = _topk_per_segment_multi(
-            [curv, curv, -curv],
+            [curv_raw, curv_raw, -curv],
             [corner_elig & nms, corner_elig, flat_elig],
             [cfg.sharp_per_segment, cfg.less_sharp_per_segment,
              cfg.flat_per_segment],

@@ -307,14 +307,24 @@ def depth_stable_mask(scan: ScanImage, rel: float = 0.1,
     occlusion-edge exclusion A-LOAM applies to its picks
     (`scanRegistration.cpp` neighbor-gap checks).
 
-    A pixel is stable when all 4 neighbors are valid and the largest
-    neighbor range difference is below `abs_m + rel * range`.  The mask is
-    then ERODED by the corner-response support radius (sobel 1 + 5x5
-    structure-tensor blur 2 = 3 px): a discontinuity 2-3 pixels away still
-    feeds the response at the center (measured: wall-face pixels 2 rows
-    under a sky edge scored 49 from the edge's smeared gradient while
-    their own 4-neighborhood was range-continuous), so every pixel in the
-    support must be stable for the response to be trusted.
+    Three composable criteria, each robust to iid beam DROPOUT (isolated
+    invalid pixels are sensor noise, not geometry — requiring a fully
+    valid support would leave 0.95^49 = 8 % of pixels detectable at 5 %
+    dropout):
+
+    1. `bad` = a VALID pixel whose largest range difference to a VALID
+       4-neighbor exceeds `abs_m + rel * range` (a genuine depth
+       discontinuity).  The exclusion is DILATED by the corner-response
+       support radius (sobel 1 + 5x5 structure-tensor blur 2 = 3 px): a
+       discontinuity 2-3 px away still feeds the blurred structure tensor
+       (measured: wall-face pixels 2 rows under a sky edge scored 49 from
+       the edge's smeared gradient).
+    2. support health: the fraction of INVALID pixels inside the 7x7
+       response support must stay under 15 % — sky/occlusion boundaries
+       are large contiguous invalid regions (a wall-top silhouette fills
+       >40 % of an adjacent support), while 5 % iid dropout exceeds 15 %
+       of a 49-px window with probability < 1 %.
+    3. the center pixel itself is valid.
     """
     r = scan.range
     v = scan.valid
@@ -331,11 +341,13 @@ def depth_stable_mask(scan: ScanImage, rel: float = 0.1,
           jnp.roll(r, 1, axis=1), jnp.roll(r, -1, axis=1)]
     nb_v = [roll_row(v, 1), roll_row(v, -1),
             jnp.roll(v, 1, axis=1), jnp.roll(v, -1, axis=1)]
-    jump = jnp.max(jnp.stack([jnp.abs(r - n) for n in nb]), axis=0)
-    all_valid = v & nb_v[0] & nb_v[1] & nb_v[2] & nb_v[3]
-    stable = all_valid & (jump < abs_m + rel * r)
-    # erosion = NOT(maxpool(NOT stable)) over the support window
-    return _maxpool2d(jnp.where(stable, 0.0, 1.0), 3) < 0.5
+    jump = jnp.max(jnp.stack([
+        jnp.where(nv, jnp.abs(r - n), 0.0) for n, nv in zip(nb, nb_v)
+    ]), axis=0)
+    bad = v & (jump >= abs_m + rel * r)
+    near_bad = _maxpool2d(jnp.where(bad, 1.0, 0.0), 3) > 0.5
+    inv_frac = conv2d.box_filter(jnp.where(v, 0.0, 1.0), 7)
+    return v & ~near_bad & (inv_frac < 0.15)
 
 
 def extract(scan: ScanImage, detect_mask: jax.Array, cfg: FeatureConfig,

@@ -80,8 +80,8 @@ def project_unorganized(
     xyz: jax.Array,
     intensity: jax.Array,
     cfg: SensorConfig,
-    fov_up_deg: float = 22.5,
-    fov_down_deg: float = -22.5,
+    fov_up_deg: float | None = None,
+    fov_down_deg: float | None = None,
 ) -> ScanImage:
     """Spherical projection for unorganized clouds (KITTI-style HDL-64).
 
@@ -89,7 +89,12 @@ def project_unorganized(
     `scanRegistration.cpp:290-325`; collisions resolve to the nearer point
     (scatter-min on range), matching a LiDAR's physical occlusion order.
     `xyz` is (N, 3) padded with zeros; zero-range points are dropped.
+    FOV defaults to the sensor config's beam table (ADVICE r4).
     """
+    if fov_up_deg is None:
+        fov_up_deg = cfg.fov_up
+    if fov_down_deg is None:
+        fov_down_deg = cfg.fov_down
     H, W = cfg.image_height, cfg.image_width
     rng = jnp.linalg.norm(xyz, axis=-1)
     ok = rng >= cfg.min_range

@@ -111,6 +111,19 @@ def voxel_downsample(
     out = jnp.where(have[:, None], out, 0.0)
     if aux is None:
         return out, have
-    aout = jnp.zeros((capacity,), aux.dtype).at[out_idx].set(
-        aux[si], mode="drop")
+    # aux output is the per-VOXEL MEAN, not the winner point's sample:
+    # every sorted point scatter-adds into its run's output slot (run id =
+    # winner-count prefix at its position).  Averaging ~10-30 points per
+    # cell suppresses both sensor speckle and sub-voxel texture sampling
+    # offsets — measured on the loop intensity-verification gate, true
+    # revisits under 25 % speckle correlate at ~0.06 on winner samples vs
+    # ~0.4+ on cell means, while wrong-place pairs stay ~0.
+    run = cum - 1                     # run id of each sorted point
+    svalid = sk != INVALID
+    add_idx = jnp.where(svalid & (run < capacity), run, capacity)
+    ssum = jnp.zeros((capacity,), jnp.float32).at[add_idx].add(
+        aux[si].astype(jnp.float32), mode="drop")
+    scnt = jnp.zeros((capacity,), jnp.float32).at[add_idx].add(
+        jnp.where(svalid, 1.0, 0.0), mode="drop")
+    aout = (ssum / jnp.maximum(scnt, 1.0)).astype(aux.dtype)
     return out, have, jnp.where(have, aout, 0)

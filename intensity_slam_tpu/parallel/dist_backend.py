@@ -77,6 +77,7 @@ def shard_backend_state(state: BackendState, mesh, axis: str = "data"
         graph=jax.tree.map(rep, state.graph),
         kf_cloud=kf(state.kf_cloud),
         kf_cloud_mask=kf(state.kf_cloud_mask),
+        kf_cloud_int=kf(state.kf_cloud_int),
         kf_sc=kf(state.kf_sc),
         kf_ringkey=kf(state.kf_ringkey),
         kf_sig=kf(state.kf_sig),
@@ -108,9 +109,16 @@ def refine(
     pc, lc = cfg.parallel, cfg.loop
     axis = pc.mesh_axis_data
 
-    # --- (a) pose-graph solve of the live graph
+    # --- (a) pose-graph solve of the live graph.  The same
+    # pairwise-consistency vote the online solve runs (r5) deactivates
+    # inconsistent loop edges here too — measurements-only, so it can be
+    # computed replicated before the sharded solve.
     g = state.graph
     if run_pgo:
+        active = (posegraph.consistent_loop_mask(
+            g, odo_noise=lc.odom_noise, drift_rate=lc.loop_drift_rate,
+            drift_rot_rate=lc.loop_drift_rot_rate, chi2_max=lc.pcm_chi2)
+            if lc.use_pcm else None)
         if mesh is not None:
             g = dist_pgo.optimize_shmap(
                 g, mesh,
@@ -119,6 +127,7 @@ def refine(
                 loop_cauchy_c=lc.loop_cauchy_c,
                 drift_rate=lc.loop_drift_rate,
                 drift_rot_rate=lc.loop_drift_rot_rate, axis=axis,
+                loop_active=active,
             )
         else:
             g = posegraph.optimize(
@@ -127,6 +136,7 @@ def refine(
                 loop_cauchy_c=lc.loop_cauchy_c,
                 drift_rate=lc.loop_drift_rate,
                 drift_rot_rate=lc.loop_drift_rot_rate,
+                loop_active=active,
             )
     state = state._replace(graph=g)
 

@@ -83,9 +83,10 @@ def optimize_shmap(
     odo_noise: tuple = (2.5e-5, 2.5e-5, 2.5e-5, 4e-4, 4e-4, 4e-4),
     prior_noise: tuple = (1e-6, 1e-6, 1e-6, 1e-8, 1e-8, 1e-6),
     loop_cauchy_c: float = 1.0,
-    drift_rate: float = 0.15,
-    drift_rot_rate: float = 0.01,
+    drift_rate: float = 0.05,
+    drift_rot_rate: float = 0.005,
     axis: str = "data",
+    loop_active: jax.Array | None = None,
 ) -> posegraph.PoseGraph:
     """SPMD pose-graph solve: loop edges sharded over `axis`, poses and the
     odometry chain replicated; one psum of the (6K, 6K) loop normal
@@ -148,19 +149,12 @@ def optimize_shmap(
                 posegraph._LM_LAMBDAS)
 
             def cand_cost(cand):
-                Tprev_c = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0),
-                                       cand)
-                rel_c = se3.compose(se3.inverse(Tprev_c), cand)
-                r_o = (osi * odo_ok[:, None]) * se3.se3_log(
-                    se3.compose(se3.inverse(Pose(oq, ot)), rel_c))
-                Tci = jax.tree.map(lambda a: a[li], cand)
-                Tcj = jax.tree.map(lambda a: a[lj], cand)
-                rel_cl = se3.compose(se3.inverse(Tci), Tcj)
-                r_cl = lsi_eff * se3.se3_log(
-                    se3.compose(se3.inverse(Pose(lq, lt)), rel_cl))
-                # psum'd OUTSIDE the vmap (vmapping a psum changes its
-                # shape contract): local term here, reduce after
-                return jnp.sum(r_o * r_o), jnp.sum(r_cl * r_cl)
+                # shared frozen-cost residual math (posegraph); the loop
+                # term is this shard's partial sum — psum'd OUTSIDE the
+                # vmap (vmapping a psum changes its shape contract)
+                return posegraph._frozen_cost_parts(
+                    cand, Pose(oq, ot), osi * odo_ok[:, None],
+                    li, lj, Pose(lq, lt), lsi_eff)
 
             odo_c, loop_c = jax.vmap(cand_cost)(cands)
             cand_costs = odo_c + jax.lax.psum(loop_c, axis)
@@ -183,7 +177,9 @@ def optimize_shmap(
     def run(g: posegraph.PoseGraph) -> posegraph.PoseGraph:
         idx_k = jnp.arange(K)
         odo_ok = g.node_valid & (idx_k >= 1) & (idx_k < g.num_nodes)
-        lval = _pad_to(g.loop_valid, Ep, False)
+        lv = (g.loop_valid if loop_active is None
+              else g.loop_valid & loop_active)
+        lval = _pad_to(lv, Ep, False)
         li = jnp.clip(_pad_to(g.loop_i, Ep, 0), 0, K - 1)
         lj = jnp.clip(_pad_to(g.loop_j, Ep, 0), 0, K - 1)
         lq = _pad_to(g.loop_rel.q, Ep, 0.0).at[E:, 0].set(1.0) \

@@ -50,6 +50,9 @@ class FrameLog(NamedTuple):
     skip: jax.Array       # (T,) bool intensity-odometry skip flag
     count: jax.Array      # () int32 frames ever logged
     num_skips: jax.Array  # () int32
+    compactions: jax.Array  # () int32 keyframe-store decimations so far —
+    # host spill segments record it so their frozen kf ids can be remapped
+    # (id //= 2 per decimation) against the CURRENT graph at export time
 
 
 class FusedState(NamedTuple):
@@ -89,6 +92,7 @@ def init_state(cfg: SlamConfig, seed: int = 0) -> FusedState:
             skip=jnp.zeros((T,), bool),
             count=jnp.int32(0),
             num_skips=jnp.int32(0),
+            compactions=jnp.int32(0),
         ),
     )
 
@@ -194,6 +198,7 @@ def fused_step(
         skip=log.skip.at[i].set(out.skip),
         count=log.count + 1,
         num_skips=log.num_skips + out.skip.astype(jnp.int32),
+        compactions=log.compactions + bout.compacted.astype(jnp.int32),
     )
 
     info = FrameInfo(
@@ -246,28 +251,27 @@ def trajectory(state: FusedState, cfg: SlamConfig
 
 
 def export_window(state: FusedState, start: jax.Array, length: int,
-                  cfg: SlamConfig) -> tuple[jax.Array, jax.Array]:
-    """Corrected poses for global frames [start, start+length), which must
-    still be resident in the ring (count - start <= log_capacity).
+                  cfg: SlamConfig
+                  ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """RAW (era-frame) poses + governing keyframe ids for global frames
+    [start, start+length), which must still be resident in the ring
+    (count - start <= log_capacity) — the device half of the host spill
+    that makes trajectory export unbounded (the reference keeps unbounded
+    keyframe deques, `intensity_feature_tracker.h:242-248`; our ring is
+    fixed, so segments stream to the host before they are overwritten).
 
-    Same updatePoses-style correction as `trajectory`, evaluated for one
-    window — the device half of the host spill that makes trajectory
-    export unbounded (the reference keeps unbounded keyframe deques,
-    `intensity_feature_tracker.h:242-248`; our ring is fixed, so segments
-    stream to the host before they are overwritten).  Corrections are as
-    of SPILL time: a later loop closure no longer rewrites already-spilled
-    frames, matching the reference's live tf stream for old poses."""
-    log, backend = state.log, state.backend
+    r5 redesign: the spill used to export poses CORRECTED as of spill
+    time, so any loop accepted after a segment spilled never reached its
+    frames (measured on the r4 soak: mid-trajectory error 10x the live
+    window's).  Now the spill ships the raw pose + its keyframe id + the
+    compaction generation, and `runtime.spill.LogSpiller.full_trajectory`
+    applies the FINAL graph's era->PGO corrections at export — every
+    frame of the session benefits from every loop ever accepted, exactly
+    like the reference's `updatePoses` full rewrite
+    (`intensity_feature_tracker.cpp:110-145`)."""
+    log = state.log
     idx = (start + jnp.arange(length)) % cfg.log_capacity
-    kf = log.kf[idx]
-    corr = keyframe_corrections(backend)
-    kfc = jnp.clip(kf, 0, backend.graph.node_valid.shape[0] - 1)
-    c = jax.tree.map(lambda a: a[kfc], corr)
-    p = se3.compose(c, Pose(log.q[idx], log.t[idx]))
-    have_kf = (kf >= 0)[:, None]
-    q = jnp.where(have_kf, p.q, log.q[idx])
-    t = jnp.where(have_kf, p.t, log.t[idx])
-    return q, t
+    return log.q[idx], log.t[idx], log.kf[idx], log.compactions
 
 
 def adopt_graph(state: FusedState, new_poses: Pose, cfg: SlamConfig

@@ -64,11 +64,17 @@ def geo_slam_step(
     intensity: jax.Array,       # (N,) (unused by the solves; carried for
     #                             projection-image completeness)
     cfg: SlamConfig,
-    fov_up_deg: float = 16.6,
-    fov_down_deg: float = -16.6,
+    fov_up_deg: float | None = None,
+    fov_down_deg: float | None = None,
 ) -> tuple[GeoSlamState, GeoSlamOutput]:
+    # FOV defaults come from the sensor config (ADVICE r4: hard-coded
+    # +-16.6 here silently cropped +-45 OS0 points when paired with
+    # os0_64_config); explicit arguments still override for sensors whose
+    # spherical binning differs from the render table
     scan = projection.project_unorganized(
-        xyz, intensity, cfg.sensor, fov_up_deg, fov_down_deg
+        xyz, intensity, cfg.sensor,
+        cfg.sensor.fov_up if fov_up_deg is None else fov_up_deg,
+        cfg.sensor.fov_down if fov_down_deg is None else fov_down_deg,
     )
     fc = curvature.extract_features(scan, cfg.sensor, cfg.geometric)
 
@@ -103,8 +109,8 @@ def run_sequence(
     xyz_seq: jax.Array,         # (T, N, 3) unorganized scans (zero-padded)
     inten_seq: jax.Array,       # (T, N)
     cfg: SlamConfig,
-    fov_up_deg: float = 16.6,
-    fov_down_deg: float = -16.6,
+    fov_up_deg: float | None = None,
+    fov_down_deg: float | None = None,
 ) -> GeoSlamOutput:
     """Replay a whole unorganized sequence under one `lax.scan`."""
 

@@ -210,6 +210,14 @@ def mapping_step(
     cfg: SlamConfig,
     features: feat_ops.Features | None = None,  # current-frame features for
     # the sliding-window visual BA (required when sliding_window_size > 0)
+    surf_pts: jax.Array | None = None,   # (Ns, 3) smooth-surface points
+    surf_mask: jax.Array | None = None,  # (the A-LOAM less-flat cloud):
+    # walls/planes beyond the RANSAC ground band.  The plane core is
+    # orientation-agnostic (fit + point-to-plane work for any normal), so
+    # folding them in gives scan-to-map x/y/yaw observations from every
+    # structural plane — the surf half of the reference's OWN laserMapping
+    # design (C15, `laserMapping.cpp:745-796`) that its launched
+    # ground-only mapOptimization lacks.
 ) -> tuple[MappingState, MappingOutput]:
     mc = cfg.mapping
     ground_cell = 2.0 * mc.ground_voxel   # octant resolution = ground_voxel
@@ -218,7 +226,14 @@ def mapping_step(
     # --- pose prior: T_w_sensor = T_map_odom o odom_pose (`:730-736`)
     prior = se3.compose(state.T_map_odom, odom_pose)
 
-    # --- downsample the scan's ground points (PCL voxel filter analogue)
+    # --- downsample the scan's ground (+ surf) points (PCL voxel filter).
+    # Surf FIRST: the downsample's compaction prefilter keeps the first
+    # `downsample_prefilter` masked points, and the raw ground mask alone
+    # can exceed it (27k points on the +-45 table) — surf points at the
+    # tail would never survive.
+    if surf_pts is not None:
+        ground_pts = jnp.concatenate([surf_pts, ground_pts])
+        ground_mask = jnp.concatenate([surf_mask, ground_mask])
     q_pts, q_mask = voxel_downsample(
         ground_pts, ground_mask, mc.ground_voxel, mc.max_query_points,
         prefilter=mc.downsample_prefilter,
@@ -262,8 +277,17 @@ def mapping_step(
     # stay near the odometry prediction
     enough = num_res >= 16
     corner_enough = num_corner >= mc.min_corner_residuals
+    # plane-normal diversity: the surf planes observe x/y (and jointly
+    # yaw) only when enough plane normals have lateral components in BOTH
+    # axes — a pure-ground scene (all normals ~z) or one long wall (one
+    # lateral direction) must keep the strong odometry prior on the
+    # unobserved axes
+    nx2 = jnp.sum(w * n[:, 0] ** 2)
+    ny2 = jnp.sum(w * n[:, 1] ** 2)
+    plane_xy_obs = (nx2 >= 32.0) & (ny2 >= 32.0)
+    obs_enough = corner_enough | plane_xy_obs
     prior_sqrt_info = jnp.where(
-        corner_enough,
+        obs_enough,
         jnp.asarray(mc.prior_sqrt_info_corner, jnp.float32),
         jnp.asarray(mc.prior_sqrt_info, jnp.float32),
     )

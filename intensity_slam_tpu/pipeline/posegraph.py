@@ -494,11 +494,14 @@ _STEP_ROT_MAX = 0.5    # rad per edge per iteration
 _STEP_TRANS_MAX = 5.0  # m per edge per iteration
 
 
-def _frozen_cost(poses: Pose, odo_rel: Pose, odo_si_eff,
-                 loop_i, loop_j, loop_rel: Pose, loop_si) -> jax.Array:
-    """Sum of squared whitened residuals at `poses` with the information
-    (incl. IRLS weights) FROZEN — the LM acceptance metric.  `odo_si_eff`
-    must already include the odo_ok mask; `loop_si` the loop_valid mask."""
+def _frozen_cost_parts(poses: Pose, odo_rel: Pose, odo_si_eff,
+                       loop_i, loop_j, loop_rel: Pose, loop_si):
+    """(odo_term, loop_term) of the frozen-weight LM acceptance cost.
+
+    Shared by the batched solver (`_frozen_cost` sums both) and the
+    shard_map solver (`parallel.dist_pgo`), whose loop term is a SHARDED
+    partial sum psum'd across shards — factoring the residual math here
+    keeps the two solvers bit-identical by construction (ADVICE r4)."""
     Tprev = jax.tree.map(lambda a: jnp.roll(a, 1, axis=0), poses)
     rel_est = se3.compose(se3.inverse(Tprev), poses)
     r_odo = odo_si_eff * se3.se3_log(
@@ -508,7 +511,17 @@ def _frozen_cost(poses: Pose, odo_rel: Pose, odo_si_eff,
     rel_l = se3.compose(se3.inverse(Tli), Tlj)
     r_loop = loop_si * se3.se3_log(
         se3.compose(se3.inverse(loop_rel), rel_l))
-    return jnp.sum(r_odo * r_odo) + jnp.sum(r_loop * r_loop)
+    return jnp.sum(r_odo * r_odo), jnp.sum(r_loop * r_loop)
+
+
+def _frozen_cost(poses: Pose, odo_rel: Pose, odo_si_eff,
+                 loop_i, loop_j, loop_rel: Pose, loop_si) -> jax.Array:
+    """Sum of squared whitened residuals at `poses` with the information
+    (incl. IRLS weights) FROZEN — the LM acceptance metric.  `odo_si_eff`
+    must already include the odo_ok mask; `loop_si` the loop_valid mask."""
+    o, l = _frozen_cost_parts(poses, odo_rel, odo_si_eff,
+                              loop_i, loop_j, loop_rel, loop_si)
+    return o + l
 
 
 def _dense_update_multi(poses: Pose, node_valid, odo_ok, rel_est: Pose,

@@ -142,13 +142,15 @@ def slam_step(
     gres = ground.extract_ground(sub, xyz, scan.valid.reshape(-1), cfg.ground)
 
     # --- scan-to-map (C14); corners = less-sharp cloud (the reference feeds
-    # its corner ikd-tree with the less-sharp features, `:478-479`)
+    # its corner ikd-tree with the less-sharp features, `:478-479`); surf =
+    # less-flat cloud so wall planes observe x/y/yaw (r5, see mapping_step)
     map_state, map_out = mapping.mapping_step(
         state.mapping,
         xyz, gres.ground_mask,
         fc.less_sharp, fc.less_sharp_mask,
         merged, cfg,
         features=odo_out.features,
+        surf_pts=fc.less_flat, surf_mask=fc.less_flat_mask,
     )
 
     # velocity EMA for the next frame's undistortion prediction (see

@@ -4,11 +4,18 @@ The device FrameLog holds `cfg.log_capacity` frames (~13.6 min at 10 Hz with
 the default 8192); the reference's keyframe/pose deques are unbounded
 (`intensity_feature_tracker.h:242-248`) and its demo bag alone is 5269
 clouds.  Before a ring slot is overwritten, the spiller exports the oldest
-resident chunk — corrected with its governing keyframe's era->PGO
-correction as of spill time (`fused.export_window`, updatePoses semantics,
-`intensity_feature_tracker.cpp:110-145`) — and hands the device handles to
-a background thread that blocks on the device->host copy OFF the dispatch
+resident chunk RAW (era-frame pose + governing keyframe id + compaction
+generation, `fused.export_window`) and hands the device handles to a
+background thread that blocks on the device->host copy OFF the dispatch
 thread (the same two-stream discipline as the async pose writer).
+
+At export, `full_trajectory` applies the FINAL graph's per-keyframe
+era->PGO corrections to every spilled frame (updatePoses semantics,
+`intensity_feature_tracker.cpp:110-145`): loops accepted AFTER a segment
+spilled still rewrite it — the r4 soak measured 10 m mid-trajectory error
+from spill-time-frozen corrections (VERDICT r4 weak #3); keyframe ids are
+remapped across store decimations by their generation delta (id //= 2 per
+decimation).
 
 Device cost: one tiny gather dispatch per `chunk` frames.  Host cost: a
 (chunk, 7)-float copy on the spill thread.  The dispatch thread never
@@ -27,6 +34,26 @@ from ..config import SlamConfig
 from ..pipeline import fused
 
 
+def _quat_compose(cq: np.ndarray, ct: np.ndarray,
+                  q: np.ndarray, t: np.ndarray):
+    """Batched host-side pose compose: (corr) o (raw) for (N, 4/3) arrays
+    (wxyz quaternions) — the export-time correction runs on the spill
+    thread, off the device."""
+    w1, x1, y1, z1 = cq[:, 0], cq[:, 1], cq[:, 2], cq[:, 3]
+    w2, x2, y2, z2 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    oq = np.stack([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ], axis=-1)
+    # rotate t by cq: t' = t + 2 w (u x t) + 2 u x (u x t), u = cq[1:]
+    u = cq[:, 1:]
+    uxt = np.cross(u, t)
+    rt = t + 2.0 * cq[:, :1] * uxt + 2.0 * np.cross(u, uxt)
+    return oq, rt + ct
+
+
 class LogSpiller:
     def __init__(self, cfg: SlamConfig, chunk: int | None = None):
         cap = cfg.log_capacity
@@ -37,7 +64,8 @@ class LogSpiller:
         self.cfg = cfg
         self._fn = jax.jit(
             lambda st, s: fused.export_window(st, s, self.chunk, cfg))
-        self.segments: list[tuple[np.ndarray, np.ndarray]] = []  # (q, t)
+        # (q_raw, t_raw, kf_id, compaction_gen) per chunk
+        self.segments: list[tuple] = []
         self.spilled = 0          # frames exported to host so far
         self._q: queue.Queue = queue.Queue()
         self._th: threading.Thread | None = None
@@ -48,9 +76,10 @@ class LogSpiller:
             item = self._q.get()
             if item is None:
                 return
-            q_dev, t_dev = item
+            q_dev, t_dev, kf_dev, gen_dev = item
             # blocks until the export's program ran; off the dispatch thread
-            self.segments.append((np.asarray(q_dev), np.asarray(t_dev)))
+            self.segments.append((np.asarray(q_dev), np.asarray(t_dev),
+                                  np.asarray(kf_dev), int(gen_dev)))
 
     def start(self) -> None:
         if self._th is None or not self._th.is_alive():
@@ -73,30 +102,45 @@ class LogSpiller:
         write over it."""
         cap = self.cfg.log_capacity
         while num_frames - self.spilled >= cap - self.chunk:
-            q_dev, t_dev = self._fn(state, self.spilled)
+            handles = self._fn(state, self.spilled)
             if self._th is None or not self._th.is_alive():
                 self.start()
-            self._q.put((q_dev, t_dev))
+            self._q.put(handles)
             self.spilled += self.chunk
 
     # ---- combined export ---------------------------------------------------
     def full_trajectory(self, state: fused.FusedState, num_frames: int,
                         traj_fn) -> tuple[np.ndarray, np.ndarray]:
         """(N, 4), (N, 3) for ALL N frames of the session: spilled segments
-        (corrected as of spill time) + the live ring window (corrected
-        now).  `traj_fn(state) -> (q, t, n)` is the jitted
-        `fused.trajectory`."""
+        and the live ring window, BOTH corrected by the final graph.
+        `traj_fn(state) -> (q, t, n)` is the jitted `fused.trajectory`."""
         self.stop()  # join pending copies; restartable via start()
         q, t, n = traj_fn(state)
         n = int(n)
         live_q = np.asarray(q)[:n]
         live_t = np.asarray(t)[:n]
+        # final per-keyframe corrections + current compaction generation
+        backend = state.backend
+        corr = fused.keyframe_corrections(backend)
+        corr_q = np.asarray(corr.q)
+        corr_t = np.asarray(corr.t)
+        gen_now = int(state.log.compactions)
+        K = corr_q.shape[0]
+        parts_seg_q, parts_seg_t = [], []
+        for sq, st_, kf, gen in self.segments:
+            kf_now = np.where(kf >= 0, kf >> max(gen_now - gen, 0), -1)
+            kfc = np.clip(kf_now, 0, K - 1)
+            cq, ct = corr_q[kfc], corr_t[kfc]
+            oq, ot = _quat_compose(cq, ct, sq, st_)
+            have = (kf_now >= 0)[:, None]
+            parts_seg_q.append(np.where(have, oq, sq))
+            parts_seg_t.append(np.where(have, ot, st_))
         S = self.spilled
         # live window covers [num_frames - n, num_frames); drop the part
         # already spilled
         skip = S - (num_frames - n)
-        parts_q = [s[0] for s in self.segments] + [live_q[skip:]]
-        parts_t = [s[1] for s in self.segments] + [live_t[skip:]]
+        parts_q = parts_seg_q + [live_q[skip:]]
+        parts_t = parts_seg_t + [live_t[skip:]]
         out_q = np.concatenate(parts_q) if parts_q else live_q
         out_t = np.concatenate(parts_t) if parts_t else live_t
         # segments spilled by a previous process are gone after a

@@ -125,6 +125,15 @@ class StreamingRunner:
         self._traj: TrajectoryWriter | None = None
         self.num_frames = 0
 
+    def reset(self) -> None:
+        """Fresh SLAM state (keyframe store, maps, log, spiller) while
+        keeping the compiled steps and direction LUT — so a benchmark can
+        measure successive passes from EQUIVALENT state instead of running
+        pass 2 against pass 1's accumulated keyframes (ADVICE r4)."""
+        self.state = fused.init_state(self.cfg)
+        self._spiller = LogSpiller(self.cfg)
+        self.num_frames = 0
+
     # ---- pose-writer stream (async device->host readback + file IO) -------
     def _writer_loop(self) -> None:
         while True:

@@ -127,6 +127,7 @@ def main() -> None:
             return stats, dt
 
         run_once()                      # compile the fused step
+        runner.reset()                  # measure from pristine state
         stats, dt = run_once()          # steady-state
         results["streaming_scans_per_sec"] = frames / dt
         results["streaming_keyframes"] = stats["keyframes"]
@@ -145,8 +146,13 @@ def main() -> None:
         # frames are sliced from it, so the host->device tunnel is off the
         # per-frame path.  run() minus run_preloaded() is the wire cost; on
         # local TPU hosts the two should be near-identical.
+        # both passes start from pristine state: the wire pass above and
+        # this preloaded pass see identical keyframe/loop work, so the
+        # subtraction isolates transport (ADVICE r4: the old version
+        # measured pass 2/3 against cumulative state)
         with ScanLog(path) as log:
             runner.run_preloaded(log)   # compile path is shared; warm anyway
+            runner.reset()
             t0 = time.perf_counter()
             pstats = runner.run_preloaded(log)
             dtp = time.perf_counter() - t0
