@@ -276,13 +276,19 @@ class LoopConfig:
     # odometry drift is bias-dominated, i.e. roughly LINEAR in distance
     # travelled — translation drift_rate (m/m) and rotation rad/m over the
     # chain path between the loop endpoints (see posegraph.optimize).
-    # r5: tightened 0.15 -> 0.05 after the corner-residual scan-to-map and
-    # the occlusion-boundary feature fix cut live drift to ~0.5% of path
-    # (circuit live max err 0.75 m over 170 m; noisy figure8 2.1 m over
-    # 220 m) — the envelope is the channel-level defense against aliased
-    # wrong candidates, so it should be as tight as real drift allows.
-    loop_drift_rate: float = 0.05
-    loop_drift_rot_rate: float = 0.005
+    # r5: tightened 0.15 -> 0.02 after the corner-residual scan-to-map,
+    # the occlusion-boundary feature fix and the surf-plane core cut live
+    # drift to ~0.3-0.9% of path (circuit live max 0.5-1 m over 170 m;
+    # noisy figure8 ~2 m over 220 m).  The envelope is both the
+    # channel-level defense against aliased wrong candidates AND the
+    # chain stiffness in the solve: at 0.05 the chain yielded so much to
+    # fitness-scaled loop noise (~0.2 m/axis) that corrected ATE landed
+    # 1-4 cm ABOVE an already-good live trajectory on the circuit
+    # battery; at 0.02 the chain resists loop noise where drift is small
+    # while multi-meter genuine drift still fits 3 sigma at revisit path
+    # lengths (3 x 0.02 x 140 m = 8.4 m envelope).
+    loop_drift_rate: float = 0.02
+    loop_drift_rot_rate: float = 0.003
     # intensity-correlation gate on the ICP inlier pairs
     # (ops.icp.intensity_correlation): wrong loops align geometry but pair
     # different surfaces, whose intensities decorrelate.  <= -1 disables.

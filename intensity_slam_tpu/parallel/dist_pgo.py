@@ -54,6 +54,7 @@ def shard_graph(g: posegraph.PoseGraph, mesh, axis: str = "data"
         node_valid=put_nodes(g.node_valid),
         num_nodes=put_rep(g.num_nodes),
         odo_rel=jax.tree.map(put_nodes, g.odo_rel),
+        odo_qual=put_nodes(g.odo_qual),
         loop_i=put_rep(g.loop_i),
         loop_j=put_rep(g.loop_j),
         loop_rel=jax.tree.map(put_rep, g.loop_rel),
@@ -188,17 +189,18 @@ def optimize_shmap(
         lsi = _pad_to(g.loop_sqrt_info, Ep, 0.0) * lval[:, None]
         step_len = jnp.where(
             odo_ok, jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
+        step_eff = step_len * g.odo_qual   # quality-weighted (posegraph r5)
         # per-edge odometry sqrt-information: random-walk floor + linear
         # bias-drift in step length (matches posegraph.optimize exactly)
         odo_var_edge = odo_var[None, :] + jnp.concatenate([
-            jnp.broadcast_to((drift_rot_rate * step_len[:, None]) ** 2,
+            jnp.broadcast_to((drift_rot_rate * step_eff[:, None]) ** 2,
                              (K, 3)),
-            jnp.broadcast_to((drift_rate * step_len[:, None]) ** 2, (K, 3)),
+            jnp.broadcast_to((drift_rate * step_eff[:, None]) ** 2, (K, 3)),
         ], axis=-1)
         osi = scale / jnp.sqrt(odo_var_edge)
         # plausible-drift Cauchy envelope per loop edge (matches
         # posegraph.optimize: linear-in-path drift + random-walk floor)
-        cum_len = jnp.cumsum(step_len)
+        cum_len = jnp.cumsum(step_eff)
         path_e = jnp.maximum(jnp.abs(cum_len[li] - cum_len[lj]), 1.0)
         n_e = jnp.maximum(jnp.abs(li - lj).astype(jnp.float32), 1.0)
         drift_var = jnp.concatenate([

@@ -50,6 +50,13 @@ class FrameLog(NamedTuple):
     skip: jax.Array       # (T,) bool intensity-odometry skip flag
     count: jax.Array      # () int32 frames ever logged
     num_skips: jax.Array  # () int32
+    # per-era odometry-quality accumulator (r5): sum of inverse frame
+    # quality and frame count since the last keyframe — becomes the new
+    # keyframe's posegraph.odo_qual edge multiplier, so the PGO places
+    # loop corrections where the uncertainty accrued (skip-heavy /
+    # match-poor stretches)
+    era_iq_sum: jax.Array  # () f32
+    era_n: jax.Array       # () f32
     compactions: jax.Array  # () int32 keyframe-store decimations so far —
     # host spill segments record it so their frozen kf ids can be remapped
     # (id //= 2 per decimation) against the CURRENT graph at export time
@@ -93,6 +100,8 @@ def init_state(cfg: SlamConfig, seed: int = 0) -> FusedState:
             count=jnp.int32(0),
             num_skips=jnp.int32(0),
             compactions=jnp.int32(0),
+            era_iq_sum=jnp.float32(0),
+            era_n=jnp.float32(0),
         ),
     )
 
@@ -127,6 +136,16 @@ def fused_step(
     # branch that may rewrite a big array non-aliasably would otherwise
     # force XLA to copy it through the conditional on EVERY frame
     # (measured ~1 ms/frame; see loop.BackendState docstring).
+    # per-frame inverse quality: a skipped frame's delta comes from the
+    # geometric fallback (~5x noisier); a low-match frame degrades with
+    # its match count.  The era mean becomes the keyframe edge's noise
+    # multiplier (posegraph.odo_qual).
+    iq = jnp.where(
+        out.skip, 5.0,
+        jnp.clip(40.0 / jnp.maximum(out.num_good.astype(jnp.float32), 8.0),
+                 1.0, 5.0))
+    era_qual = (state.log.era_iq_sum + iq) / (state.log.era_n + 1.0)
+
     def kf_branch(sstate, small):
         scan_valid = jnp.linalg.norm(xyz, axis=-1) >= cfg.sensor.min_range
         small, slot, bout = loop_mod.keyframe_core(
@@ -135,7 +154,7 @@ def fused_step(
             feat_xyz=out.feat_xyz,
             ground_pts=out.ground_ds, ground_mask=out.ground_ds_mask,
             corner_pts=out.corner_ds, corner_mask=out.corner_ds_mask,
-            scan_int=inten,
+            scan_int=inten, era_qual=era_qual,
         )
         # --- live correction feedback (reference: updatePoses + tf
         # map->pgo_odom): re-base the mapping frame, move the raw anchors,
@@ -199,6 +218,8 @@ def fused_step(
         count=log.count + 1,
         num_skips=log.num_skips + out.skip.astype(jnp.int32),
         compactions=log.compactions + bout.compacted.astype(jnp.int32),
+        era_iq_sum=jnp.where(out.is_keyframe, 0.0, log.era_iq_sum + iq),
+        era_n=jnp.where(out.is_keyframe, 0.0, log.era_n + 1.0),
     )
 
     info = FrameInfo(

@@ -315,6 +315,8 @@ def keyframe_core(
     corner_mask: jax.Array | None = None,
     scan_int: jax.Array | None = None,     # (N,) per-point intensity (the
     # loop-verification appearance channel; zeros when absent)
+    era_qual: jax.Array | float = 1.0,     # odometry-quality multiplier of
+    # this keyframe's era (mean inverse frame quality; posegraph.odo_qual)
 ) -> tuple[SmallState, SlotData, BackendOutput]:
     """One keyframe's back-end work on the cond-carried small state: slot
     allocation, graph node, loop detect, ICP verify, PGO.  Returns the
@@ -332,7 +334,7 @@ def keyframe_core(
 
     # --- ingest: physical slot + node + descriptors
     phys = small.free_slots[small.free_count - 1]
-    graph = posegraph.add_node(small.graph, map_pose)
+    graph = posegraph.add_node(small.graph, map_pose, qual=era_qual)
     if scan_int is None:
         scan_int = jnp.zeros(scan_xyz.shape[0], jnp.float32)
     if lc.use_voxel:
@@ -653,6 +655,8 @@ def backend_step(
     ground_mask: jax.Array | None = None,
     corner_pts: jax.Array | None = None,
     corner_mask: jax.Array | None = None,
+    scan_int: jax.Array | None = None,
+    era_qual: jax.Array | float = 1.0,
 ) -> tuple[BackendState, BackendOutput]:
     """Whole-state keyframe step: `keyframe_core` + `write_slot`.  The
     fused per-frame program calls the two halves itself so the payload
@@ -663,6 +667,7 @@ def backend_step(
         map_pose, timestamp, cfg, feat_xyz=feat_xyz,
         ground_pts=ground_pts, ground_mask=ground_mask,
         corner_pts=corner_pts, corner_mask=corner_mask,
+        scan_int=scan_int, era_qual=era_qual,
     )
     return write_slot(state, small, slot), bout
 

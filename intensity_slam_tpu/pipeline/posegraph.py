@@ -42,6 +42,12 @@ class PoseGraph(NamedTuple):
     num_nodes: jax.Array         # () int32
     # odometry chain measurements: rel[i] = Z_{i-1 -> i} (identity at i=0)
     odo_rel: Pose                # [K]
+    # per-edge noise MULTIPLIER on the linear-drift term (r5): an edge
+    # whose era was skip-heavy / match-poor carries proportionally more
+    # drift variance, so the solve places loop corrections where the
+    # uncertainty actually accrued (e.g. a textureless span) instead of
+    # redistributing them uniformly over the chain
+    odo_qual: jax.Array          # (K,) float32 >= 1
     # loop edges (fixed capacity L)
     loop_i: jax.Array            # (L,) int32
     loop_j: jax.Array            # (L,) int32
@@ -62,6 +68,7 @@ def empty(max_nodes: int, max_loops: int = 256) -> PoseGraph:
         node_valid=jnp.zeros((max_nodes,), bool),
         num_nodes=jnp.int32(0),
         odo_rel=Pose.identity((max_nodes,)),
+        odo_qual=jnp.ones((max_nodes,), jnp.float32),
         loop_i=jnp.zeros((max_loops,), jnp.int32),
         loop_j=jnp.zeros((max_loops,), jnp.int32),
         loop_rel=Pose.identity((max_loops,)),
@@ -72,7 +79,8 @@ def empty(max_nodes: int, max_loops: int = 256) -> PoseGraph:
     )
 
 
-def add_node(g: PoseGraph, map_pose: Pose) -> PoseGraph:
+def add_node(g: PoseGraph, map_pose: Pose,
+             qual: jax.Array | float = 1.0) -> PoseGraph:
     """Append a keyframe node; the between measurement is the relative map
     pose to the previous node (`:465-510`).
 
@@ -96,6 +104,7 @@ def add_node(g: PoseGraph, map_pose: Pose) -> PoseGraph:
         poses=Pose(set_at(g.poses.q, est.q), set_at(g.poses.t, est.t)),
         node_valid=g.node_valid.at[k].set(True),
         odo_rel=Pose(set_at(g.odo_rel.q, rel.q), set_at(g.odo_rel.t, rel.t)),
+        odo_qual=g.odo_qual.at[k].set(jnp.asarray(qual, jnp.float32)),
         num_nodes=k + 1,
         last_raw=map_pose,
     )
@@ -157,6 +166,8 @@ def compact_half(g: PoseGraph) -> PoseGraph:
         lambda r, i: jnp.where(keep_rel[:, None], r, i),
         rel_pair, Pose.identity((K,)),
     )
+    qual_pair = jnp.maximum(g.odo_qual[prev_src], g.odo_qual[src])
+    odo_qual = jnp.where(keep_rel, qual_pair, 1.0)
 
     # loop edges: odd endpoints move to the preceding even node, measurement
     # adjusted by the dropped odometry step.
@@ -196,6 +207,7 @@ def compact_half(g: PoseGraph) -> PoseGraph:
         node_valid=new_valid,
         num_nodes=new_num,
         odo_rel=odo_rel,
+        odo_qual=odo_qual,
         loop_i=new_li,
         loop_j=new_lj,
         loop_rel=rel,
@@ -371,16 +383,20 @@ def optimize(
         g.node_valid & (idx_n >= 1) & (idx_n < g.num_nodes),
         jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0,
     )
+    # EFFECTIVE step length = step x per-edge quality multiplier: a
+    # skip-heavy era's edge carries proportionally more drift variance
+    step_eff = step_len * g.odo_qual
     # per-edge odometry sqrt-information (see docstring)
     odo_var_edge = jnp.asarray(odo_noise, jnp.float32)[None, :] + jnp.concatenate([
-        jnp.broadcast_to((drift_rot_rate * step_len[:, None]) ** 2, (K, 3)),
-        jnp.broadcast_to((drift_rate * step_len[:, None]) ** 2, (K, 3)),
+        jnp.broadcast_to((drift_rot_rate * step_eff[:, None]) ** 2, (K, 3)),
+        jnp.broadcast_to((drift_rate * step_eff[:, None]) ** 2, (K, 3)),
     ], axis=-1)
     odo_si = scale / jnp.sqrt(odo_var_edge)
 
     # plausible-drift envelope per loop edge (static across GN iterations:
-    # it depends only on the measurements, not the iterate)
-    cum_len = jnp.cumsum(step_len)
+    # it depends only on the measurements, not the iterate); path in
+    # EFFECTIVE meters so the envelope widens over low-quality stretches
+    cum_len = jnp.cumsum(step_eff)
     path_e = jnp.maximum(
         jnp.abs(cum_len[g.loop_i] - cum_len[g.loop_j]), 1.0
     )
@@ -659,7 +675,7 @@ def consistent_loop_mask(
     step_len = jnp.where(
         (idx_n >= 1) & (idx_n < g.num_nodes),
         jnp.linalg.norm(g.odo_rel.t, axis=-1), 0.0)
-    cum = jnp.cumsum(step_len)
+    cum = jnp.cumsum(step_len * g.odo_qual)   # effective (quality-weighted)
 
     Ci = jax.tree.map(lambda a: a[g.loop_i], C)
     Cj = jax.tree.map(lambda a: a[g.loop_j], C)

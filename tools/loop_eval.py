@@ -90,9 +90,12 @@ def _render(world, poses, cfg, seed: int, frames: int,
         cdir = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), ".render_cache")
         os.makedirs(cdir, exist_ok=True)
+        # key includes the BEAM TABLE: an r4-era cache keyed only on
+        # shape silently replayed legacy +-16.6 renders against OS0 configs
         cache = os.path.join(
             cdir, f"{world_name}_s{seed}_f{frames}_"
-            f"{cfg.sensor.image_height}x{cfg.sensor.image_width}.npz")
+            f"{cfg.sensor.image_height}x{cfg.sensor.image_width}_"
+            f"fov{cfg.sensor.fov_up:g}_{cfg.sensor.fov_down:g}.npz")
         if os.path.exists(cache):
             d = np.load(cache)
             return jnp.asarray(d["xyz"]), jnp.asarray(d["inten"])

@@ -1,11 +1,18 @@
 #!/usr/bin/env python
-"""Validate the full system on the OS0-64-EXACT beam table (VERDICT r3
-missing #1): the reference's demo recording comes from an Ouster OS0-64
-(`/root/reference/README.md:153`), whose vertical FOV is 90 deg (+-45) —
-not the +-16.6 OS1-style table the rounds-1..3 benchmark worlds rendered
-with.  This runs the standard 420-frame circuit benchmark with the
-OS0-exact geometry (`config.os0_64_config`) and writes RESULTS_os064.json,
-demonstrating the pipeline is not tuned to the legacy beam table.
+"""Run the circuit benchmark on the OS0-64-EXACT beam table: the
+reference's demo recording comes from an Ouster OS0-64
+(`/root/reference/README.md:153`), vertical FOV 90 deg (+-45) — not the
++-16.6 OS1-style table the rounds-1..3 benchmark worlds rendered with.
+
+History: the round-4 run of this tool FAILED (17.02 m ATE vs 0.56 m on
+the legacy table) — the +-45 geometry exposed three pipeline defects
+(occlusion-boundary intensity features self-matching to an identity
+delta in the textureless span; viewpoint-riding curvature picks
+corrupting the corner map; the ground-only plane core leaving x/y/yaw
+unconstrained between keyframes).  Round 5 fixed the pipeline (see
+ops/features.depth_stable_mask, ops/curvature.compute_curvature,
+pipeline/mapping.mapping_step) and the OS0-exact table is now the
+DEFAULT benchmark sensor.  This tool writes RESULTS_os064.json.
 """
 
 import json

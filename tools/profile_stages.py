@@ -1,15 +1,31 @@
 #!/usr/bin/env python
-"""Per-stage wall-clock + FLOPs/bytes roofline profile on the real chip.
+"""Per-stage wall-clock + roofline profile on the real chip (PROFILE_r05).
 
-Times each jitted stage in isolation (steady-state, post-compile) AND pulls
-XLA's cost analysis (flops, bytes accessed) from the compiled executable so
-every stage reports achieved FLOP/s and HBM bandwidth against the chip's
-ceilings — "fast" is stated against the roofline, not just a CPU baseline
-(VERDICT r3 weak #3).  Not part of the test suite.
+Times each jitted stage in isolation (steady-state, post-compile) and
+reports, per stage:
 
-Peaks used (TPU v5e / v5 lite, public figures): 197 TFLOP/s bf16 MXU,
-819 GB/s HBM.  Our compute path is float32, for which the MXU peak is
-lower, so the reported MFU is a LOWER bound on true utilization.
+  ms        measured wall time (median of n dispatches, blocked)
+  MF        XLA cost-analysis flops (reliable: the compiled HLO's flop
+            count)
+  opnd MB   OPERAND bytes = actual input + output array bytes of the
+            stage — a LOWER bound on HBM traffic, so the derived %HBM can
+            never exceed physics
+  logical   XLA cost-analysis "bytes accessed" — the compiler's LOGICAL
+            access count: it includes BOTH branches of every lax.cond and
+            every re-read of an intermediate, so it exceeds physical HBM
+            traffic by up to ~50x on cond-heavy programs.  Reported for
+            reference, never as a bandwidth ratio.  (r4 published 5,246%
+            -of-HBM numbers from using this as traffic — VERDICT r4
+            weak #4; this rewrite is the fix.)
+  %MXU      achieved flops / 197 TFLOP/s bf16 peak (fp32 peak is ~4x
+            lower, so this understates utilization on fp32 math)
+  %HBMf     operand-bytes bandwidth floor / 819 GB/s
+
+The floor column answers the roofline question honestly: a stage whose
+%HBMf is high is provably bandwidth-bound; a stage where both %MXU and
+%HBMf are low is latency/VPU-bound (fixed overheads, small kernels,
+serial dependencies) — the common case for SLAM-sized tensors on a chip
+this large.
 """
 
 import os
@@ -20,6 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from intensity_slam_tpu.utils.platform import honor_env_platform
 
@@ -31,14 +48,14 @@ from intensity_slam_tpu.ops import curvature, ground, projection
 from intensity_slam_tpu.pipeline import geometric, mapping, odometry, slam
 from intensity_slam_tpu.utils import se3
 
-PEAK_FLOPS_BF16 = 197e12    # TPU v5e MXU
-PEAK_HBM_BPS = 819e9        # TPU v5e HBM bandwidth
+PEAK_FLOPS_BF16 = 197e12    # TPU v5e MXU (public figure)
+PEAK_HBM_BPS = 819e9        # TPU v5e HBM bandwidth (public figure)
 
 _rows = []
 
 
 def _cost(fn, *args):
-    """(flops, bytes) from XLA's cost analysis of the compiled stage."""
+    """(flops, logical_bytes) from XLA's cost analysis."""
     try:
         ca = fn.lower(*args).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
@@ -49,32 +66,41 @@ def _cost(fn, *args):
         return 0.0, 0.0
 
 
+def _operand_bytes(tree) -> float:
+    return sum(a.size * a.dtype.itemsize
+               for a in jax.tree.leaves(tree)
+               if hasattr(a, "size") and hasattr(a, "dtype"))
+
+
 def timeit(name, fn, *args, n=30):
     out = fn(*args)
     jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    samples = []
     for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n * 1e3
-    flops = byts = 0.0
+        t0 = time.perf_counter()
+        o = fn(*args)
+        jax.block_until_ready(o)
+        samples.append(time.perf_counter() - t0)
+    dt = float(np.median(samples)) * 1e3
+    flops = logical = 0.0
     if hasattr(fn, "lower"):
-        flops, byts = _cost(fn, *args)
+        flops, logical = _cost(fn, *args)
+    opnd = _operand_bytes(args) + _operand_bytes(out)
     gflops = flops / (dt * 1e-3) / 1e9 if dt > 0 else 0.0
-    gbps = byts / (dt * 1e-3) / 1e9 if dt > 0 else 0.0
     mfu = flops / (dt * 1e-3) / PEAK_FLOPS_BF16 * 100
-    hbm = byts / (dt * 1e-3) / PEAK_HBM_BPS * 100
-    print(f"{name:28s} {dt:8.3f} ms  {flops/1e6:9.1f} MF {byts/1e6:8.1f} MB"
-          f"  {gflops:7.1f} GF/s ({mfu:4.1f}% MXU) "
-          f"{gbps:6.1f} GB/s ({hbm:4.1f}% HBM)")
-    _rows.append((name, dt, flops, byts, mfu, hbm))
+    hbmf = opnd / (dt * 1e-3) / PEAK_HBM_BPS * 100
+    print(f"{name:28s} {dt:8.3f} ms  {flops/1e6:9.1f} MF "
+          f"opnd {opnd/1e6:8.1f} MB (logical {logical/1e6:9.1f} MB)  "
+          f"{gflops:7.1f} GF/s ({mfu:5.2f}% MXU) {hbmf:5.1f}% HBMf")
+    _rows.append((name, dt, flops, opnd, logical, mfu, hbmf))
     return out
 
 
 def main():
-    cfg = config.SlamConfig()
-    world = synthetic.corridor_world()
-    poses = synthetic.corridor_trajectory(8, speed=0.35, yaw_rate=0.005)
+    # OS0-64-exact table: the default benchmark sensor since r5
+    cfg = config.os0_64_config()
+    world = synthetic.circuit_world()
+    poses = synthetic.circuit_trajectory(8, speed=0.4)
     render = jax.jit(
         lambda q, t: synthetic.render_sequence(se3.Pose(q, t), world, cfg.sensor)
     )
@@ -112,10 +138,11 @@ def main():
     gres = timeit("ground RANSAC", grnd, state.rng, x0,
                   scan.valid.reshape(-1))
 
-    mapstep = jax.jit(lambda ms, x, gm, c, cm, p: mapping.mapping_step(
-        ms, x, gm, c, cm, p, cfg))
+    mapstep = jax.jit(lambda ms, x, gm, c, cm, p, sp, sm_: mapping.mapping_step(
+        ms, x, gm, c, cm, p, cfg, surf_pts=sp, surf_mask=sm_))
     mout = timeit("mapping_step", mapstep, state.mapping, x0, gres.ground_mask,
-                  fc.less_sharp, fc.less_sharp_mask, state.merged_pose)
+                  fc.less_sharp, fc.less_sharp_mask, state.merged_pose,
+                  fc.less_flat, fc.less_flat_mask)
 
     # ---- keyframe back-end (detect channels + cond'ed ICP/PGO) ------------
     from intensity_slam_tpu.pipeline import fused
@@ -128,7 +155,7 @@ def main():
         bs, x, m, d, dv, Pose(q, tt), ts, cfg,
         feat_xyz=out.feat_xyz, ground_pts=mo.ground_ds,
         ground_mask=mo.ground_ds_mask, corner_pts=mo.corner_ds,
-        corner_mask=mo.corner_ds_mask))
+        corner_mask=mo.corner_ds_mask, scan_int=i0))
     sm = jnp.linalg.norm(x0, axis=-1) >= cfg.sensor.min_range
     bstate, _ = bstep(bstate, x0, sm, out.desc, out.desc_valid,
                       out.pose.q, out.pose.t, t0)
@@ -154,11 +181,12 @@ def main():
            jnp.float32(9.0))
 
     # markdown summary for PROFILE_rNN.md
-    print("\n| Stage | ms | MFLOP | MB moved | % MXU (bf16 peak) | % HBM |")
-    print("|---|---|---|---|---|---|")
-    for name, dt, fl, by, mfu, hbm in _rows:
-        print(f"| {name} | {dt:.2f} | {fl/1e6:.0f} | {by/1e6:.1f} "
-              f"| {mfu:.1f} | {hbm:.1f} |")
+    print("\n| Stage | ms | MFLOP | operand MB | logical MB (not HBM) "
+          "| % MXU (bf16 peak) | % HBM floor |")
+    print("|---|---|---|---|---|---|---|")
+    for name, dt, fl, op, lg, mfu, hbmf in _rows:
+        print(f"| {name} | {dt:.2f} | {fl/1e6:.0f} | {op/1e6:.1f} "
+              f"| {lg/1e6:.0f} | {mfu:.2f} | {hbmf:.1f} |")
 
 
 if __name__ == "__main__":
