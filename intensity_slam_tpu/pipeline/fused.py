@@ -137,13 +137,23 @@ def fused_step(
     # force XLA to copy it through the conditional on EVERY frame
     # (measured ~1 ms/frame; see loop.BackendState docstring).
     # per-frame inverse quality: a skipped frame's delta comes from the
-    # geometric fallback (~5x noisier); a low-match frame degrades with
-    # its match count.  The era mean becomes the keyframe edge's noise
-    # multiplier (posegraph.odo_qual).
+    # geometric fallback (measured ~2-3x noisier per frame than the
+    # intensity solve); a low-match frame degrades with its match count.
+    # The era mean becomes the keyframe edge's noise multiplier
+    # (posegraph.odo_qual).  Capped at 3: the multiplier COMPOUNDS with
+    # loop_drift_rate, and an uncapped 5x on an already-wide envelope
+    # left the chain nearly unconstrained (a noisy toy refine swung to
+    # 9 m ATE).
+    # the "healthy" match count scales with the feature budget (~4 % of
+    # num_features: 41 at the full 1024, 2.6 at the 64-feature test
+    # config) — an absolute threshold silently maxed the multiplier on
+    # small configs and turned their chains to jelly
+    good_floor = 0.04 * cfg.feature.num_features
     iq = jnp.where(
-        out.skip, 5.0,
-        jnp.clip(40.0 / jnp.maximum(out.num_good.astype(jnp.float32), 8.0),
-                 1.0, 5.0))
+        out.skip, 3.0,
+        jnp.clip(good_floor
+                 / jnp.maximum(out.num_good.astype(jnp.float32), 2.0),
+                 1.0, 3.0))
     era_qual = (state.log.era_iq_sum + iq) / (state.log.era_n + 1.0)
 
     def kf_branch(sstate, small):

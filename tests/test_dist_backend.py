@@ -168,10 +168,16 @@ def test_online_refine_improves_live_trajectory(cfg, mesh):
     cfg2 = cfg.replace(
         loop=dataclasses.replace(
             cfg.loop, online_pgo=False,
-            # heavy sensor noise on a SHORT path drifts far more per meter
-            # than the long-run defaults model — widen the plausible-drift
-            # envelope so the genuine loop keeps full robust weight
-            loop_drift_rate=0.3, loop_drift_rot_rate=0.05),
+            # 1024-pt keyframe clouds: at the 512 default the ICP loop
+            # measurements carry ~0.2-0.3 m noise — as large as the drift
+            # this short path accrues, so a refine could only shuffle
+            # noise.  Envelope widened to cover the ~3% short-path drift,
+            # but NOT to r4's 0.3, which blinded the candidate-
+            # plausibility/chi2/PCM gates entirely: the corridor world's
+            # repeating box pattern then fed aliased wrong loops
+            # (identity-rel edges across 6.7 m) straight into the solve.
+            keyframe_cloud_size=1024,
+            loop_drift_rate=0.08, loop_drift_rot_rate=0.01),
     )
     world = synthetic.corridor_world()
     # r5: the occlusion-aware front-end no longer drifts measurably over a
@@ -182,8 +188,8 @@ def test_online_refine_improves_live_trajectory(cfg, mesh):
     # noisy sensor -> real odometry drift for the refine to correct (the
     # noiseless raycaster drifts ~0.1 m over this sequence, leaving a global
     # solve nothing to do)
-    noise = synthetic.SensorNoise(range_sigma=0.06, intensity_speckle=0.25,
-                                  dropout_rate=0.05)
+    noise = synthetic.SensorNoise(range_sigma=0.04, intensity_speckle=0.15,
+                                  dropout_rate=0.03)
     xyz, inten = jax.jit(
         lambda q, t: synthetic.render_sequence(
             se3.Pose(q, t), world, cfg2.sensor, noise=noise,
