@@ -75,13 +75,15 @@ def _operand_bytes(tree) -> float:
 def timeit(name, fn, *args, n=30):
     out = fn(*args)
     jax.block_until_ready(out)
-    samples = []
+    # PIPELINED timing (dispatch n, block once): on this rig the device is
+    # remote, and blocking per dispatch measures the ~26 ms tunnel RTT
+    # instead of device time; the pipelined loop amortizes the transport
+    # and approaches the true per-step device cost
+    t0 = time.perf_counter()
     for _ in range(n):
-        t0 = time.perf_counter()
         o = fn(*args)
-        jax.block_until_ready(o)
-        samples.append(time.perf_counter() - t0)
-    dt = float(np.median(samples)) * 1e3
+    jax.block_until_ready(o)
+    dt = (time.perf_counter() - t0) / n * 1e3
     flops = logical = 0.0
     if hasattr(fn, "lower"):
         flops, logical = _cost(fn, *args)
